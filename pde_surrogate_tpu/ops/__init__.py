@@ -1,0 +1,19 @@
+"""Numeric ops: stencil filters, Darcy physics losses, samplers, LHS."""
+
+from .filters import SobelFilter, FourierFilter, GaussianFilter, stencil_matrix
+from .darcy import (
+    conv_constitutive_constraint,
+    conv_constitutive_constraint_nonlinear,
+    conv_constitutive_constraint_nonlinear_exp,
+    conv_continuity_constraint,
+    conv_boundary_condition,
+    energy_functional_exp,
+    mixed_residual_loss,
+    bilinear_interpolate,
+    mixed_residual_fc,
+    primal_residual_fc,
+    primal_variational_fc,
+    neumann_boundary_mixed,
+)
+from .lhs import lhs
+from .sampling import SampleSpatial2d

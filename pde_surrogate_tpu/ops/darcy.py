@@ -1,0 +1,284 @@
+"""Darcy-flow physics losses.
+
+The PDE (reference: solve_conv_mixed_residual.py:3-8):
+
+    div(K(s) grad u(s)) = 0   on (0,1)^2
+    u = 1 at x=0 (left),  u = 0 at x=1 (right),  zero vertical flux top/bottom
+
+Two loss families, matching models/darcy.py in the reference:
+
+* **Conv family** — batched NHWC field images, derivatives from the Sobel
+  matmul stencils (`ops.filters.SobelFilter`):
+  constitutive + continuity + boundary penalties, plus the nonlinear
+  constitutive laws (polynomial and exponential) and the exponential energy
+  functional (models/darcy.py:151-233).
+
+* **FC family** — collocation points, derivatives by nested `jax.grad`
+  through the network (replacing autograd `create_graph=True`,
+  models/darcy.py:51-144).  Networks are pure functions ``f(params, x)``;
+  per-point jacobians come from `jax.vmap(jax.jacfwd(...))` which XLA fuses
+  into one batched evaluation — no per-sample autograd graphs.
+
+Field layout: images are (B, H, W, C); output channels C = (u, sigma_1,
+sigma_2) = (pressure, horizontal flux, vertical flux).  Collocation points
+are (N, 2) in (y, x) ordering on [0,1]^2 (reference: utils/sampling.py:16-24).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .filters import SobelFilter
+
+__all__ = [
+    "conv_constitutive_constraint",
+    "conv_constitutive_constraint_nonlinear",
+    "conv_constitutive_constraint_nonlinear_exp",
+    "conv_continuity_constraint",
+    "conv_boundary_condition",
+    "energy_functional_exp",
+    "mixed_residual_loss",
+    "bilinear_interpolate",
+    "mixed_residual_fc",
+    "primal_residual_fc",
+    "primal_variational_fc",
+    "neumann_boundary_mixed",
+]
+
+
+# ---------------------------------------------------------------------------
+# Conv family (Sobel-stencil derivatives on NHWC images)
+# ---------------------------------------------------------------------------
+
+
+def conv_constitutive_constraint(input: jax.Array, output: jax.Array,
+                                 sobel: SobelFilter) -> jax.Array:
+    """mean((sigma_hat - (-K grad u))^2), both flux components.
+
+    Reference: models/darcy.py:162-176.
+
+    Args:
+      input: K, (B, H, W, 1).
+      output: (u, sigma1, sigma2), (B, H, W, 3).
+    """
+    u = output[..., 0:1]
+    grad_h = sobel.grad_h(u)
+    grad_v = sobel.grad_v(u)
+    est_sigma1 = -input * grad_h
+    est_sigma2 = -input * grad_v
+    return jnp.mean((output[..., 1:2] - est_sigma1) ** 2
+                    + (output[..., 2:3] - est_sigma2) ** 2)
+
+
+def conv_constitutive_constraint_nonlinear(input: jax.Array, output: jax.Array,
+                                           sobel: SobelFilter,
+                                           beta1: float, beta2: float) -> jax.Array:
+    """Polynomial nonlinear Darcy law residual (models/darcy.py:179-191).
+
+    -K grad u = sigma + beta1 sqrt(K) sigma^2 + beta2 K sigma^3 (componentwise).
+    """
+    u = output[..., 0:1]
+    k_u_h = -input * sobel.grad_h(u)
+    k_u_v = -input * sobel.grad_v(u)
+    sigma = output[..., 1:3]
+    rhs = (sigma + beta1 * jnp.sqrt(input) * sigma ** 2
+           + beta2 * input * sigma ** 3)
+    return jnp.mean((k_u_h - rhs[..., 0:1]) ** 2 + (k_u_v - rhs[..., 1:2]) ** 2)
+
+
+def conv_constitutive_constraint_nonlinear_exp(input: jax.Array,
+                                               output: jax.Array,
+                                               sobel: SobelFilter) -> jax.Array:
+    """Exponential nonlinear law sigma = -exp(K u) grad u (models/darcy.py:193-208)."""
+    u = output[..., 0:1]
+    grad_h = sobel.grad_h(u)
+    grad_v = sobel.grad_v(u)
+    coef = jnp.exp(input * u)
+    return jnp.mean((output[..., 1:2] + coef * grad_h) ** 2
+                    + (output[..., 2:3] + coef * grad_v) ** 2)
+
+
+def conv_continuity_constraint(output: jax.Array, sobel: SobelFilter,
+                               use_tb: bool = True) -> jax.Array:
+    """mean((d sigma1/dx + d sigma2/dy)^2)  (models/darcy.py:210-224).
+
+    ``use_tb=False`` excludes the top and bottom rows from the mean.
+    """
+    sigma1_x = sobel.grad_h(output[..., 1:2])
+    sigma2_y = sobel.grad_v(output[..., 2:3])
+    div = (sigma1_x + sigma2_y) ** 2
+    if use_tb:
+        return jnp.mean(div)
+    return jnp.mean(div[:, 1:-1, :, :])
+
+
+def conv_boundary_condition(output: jax.Array):
+    """(dirichlet, neumann) boundary MSEs (models/darcy.py:226-233).
+
+    Dirichlet: u=1 on the left column, u=0 on the right column.
+    Neumann: sigma2=0 on the top and bottom rows.
+    """
+    left = output[:, :, 0, 0]
+    right = output[:, :, -1, 0]
+    top_down_flux = output[:, jnp.array([0, -1]), :, 2]
+    loss_dirichlet = jnp.mean((left - 1.0) ** 2) + jnp.mean(right ** 2)
+    loss_neumann = jnp.mean(top_down_flux ** 2)
+    return loss_dirichlet, loss_neumann
+
+
+def energy_functional_exp(input: jax.Array, output: jax.Array,
+                          sobel: SobelFilter) -> jax.Array:
+    """Variational energy for the exponential law (models/darcy.py:151-159).
+
+    V(u, K) = mean(0.5 exp(K u) |grad u|^2); here ``output`` is the scalar
+    field u with the same channel layout as the reference call site.
+    """
+    grad_h = sobel.grad_h(output)
+    grad_v = sobel.grad_v(output)
+    return jnp.mean(0.5 * jnp.exp(input * output) * (grad_h ** 2 + grad_v ** 2))
+
+
+def mixed_residual_loss(input: jax.Array, output: jax.Array,
+                        sobel: SobelFilter, weight_bound: float = 10.0,
+                        nonlinear: str | None = None,
+                        beta1: float = 1.0, beta2: float = 1.0):
+    """Fused physics loss = constitutive + continuity + w_b * boundary.
+
+    One jitted region for the whole mixed-residual objective (the hot loss in
+    train_codec_mixed_residual.py:228-232); returns
+    ``(loss, (pde, dirichlet, neumann))``.
+    """
+    if nonlinear is None:
+        constitutive = conv_constitutive_constraint(input, output, sobel)
+    elif nonlinear == "poly":
+        constitutive = conv_constitutive_constraint_nonlinear(
+            input, output, sobel, beta1, beta2)
+    elif nonlinear == "exp":
+        constitutive = conv_constitutive_constraint_nonlinear_exp(
+            input, output, sobel)
+    else:
+        raise ValueError(f"unknown nonlinear law: {nonlinear}")
+    continuity = conv_continuity_constraint(output, sobel)
+    dirichlet, neumann = conv_boundary_condition(output)
+    pde = constitutive + continuity
+    loss = pde + weight_bound * (dirichlet + neumann)
+    return loss, (pde, dirichlet, neumann)
+
+
+# ---------------------------------------------------------------------------
+# FC family (collocation points, nested jax.grad)
+# ---------------------------------------------------------------------------
+
+
+def bilinear_interpolate(im: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinearly interpolate image ``im`` (H, W) at pixel coords (x, y).
+
+    Functional equivalent of models/darcy.py:18-48 (gather + lerp), with the
+    cell index clamped to size-2 so points exactly on the top/right edge
+    interpolate correctly (the reference's double clamp zeroes all four
+    weights there).  Returns (N,) values for (N,) coordinate vectors.
+    """
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, im.shape[1] - 2)
+    x1 = x0 + 1
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, im.shape[0] - 2)
+    y1 = y0 + 1
+    ia = im[y0, x0]
+    ib = im[y1, x0]
+    ic = im[y0, x1]
+    id_ = im[y1, x1]
+    x0f, x1f = x0.astype(x.dtype), x1.astype(x.dtype)
+    y0f, y1f = y0.astype(y.dtype), y1.astype(y.dtype)
+    wa = (x1f - x) * (y1f - y)
+    wb = (x1f - x) * (y - y0f)
+    wc = (x - x0f) * (y1f - y)
+    wd = (x - x0f) * (y - y0f)
+    return ia * wa + ib * wb + ic * wc + id_ * wd
+
+
+def _pointwise_jac(model_fn: Callable, params, x: jax.Array) -> jax.Array:
+    """Per-point Jacobian dy/dx: (N, out_dim, 2) via vmapped jacfwd.
+
+    Replaces the reference's repeated ``autograd.grad(..., create_graph=True)``
+    calls (models/darcy.py:13-15): forward-mode over the 2-D input is exact,
+    cheap (2 JVPs), and fuses into one batched XLA computation.
+    """
+    jac_single = jax.jacfwd(lambda pt: model_fn(params, pt[None, :])[0])
+    return jax.vmap(jac_single)(x)
+
+
+def mixed_residual_fc(model_fn: Callable, params, x: jax.Array, K: jax.Array,
+                      rand_colloc: bool = False,
+                      imsize: int | None = None) -> jax.Array:
+    """Mixed-form residual at collocation points (models/darcy.py:113-144).
+
+    Args:
+      model_fn: ``f(params, x) -> (N, 3)`` with channels (u, tau_ver, tau_hor)
+        — note the reference's FC channel order (y-flux then x-flux,
+        solve_fc_mixed_residual.py:170-174).
+      x: (N, 2) points in (y, x) ordering on [0,1]^2.
+      K: (N, 1) on-grid permeability, or (H*W, 1) grid values when
+        ``rand_colloc`` (interpolated at x like the reference).
+      imsize: grid size, required when ``rand_colloc``.
+
+    Returns constitutive + continuity scalar loss.
+    """
+    y = model_fn(params, x)
+    u_x = _pointwise_jac(model_fn, params, x)  # (N, 3, 2)
+    tau = y[:, 1:3]
+    grad_u = u_x[:, 0, :]                       # (N, 2) = (du/dy, du/dx)
+    grad_tau_ver = u_x[:, 1, 0]                 # d tau_ver / dy
+    grad_tau_hor = u_x[:, 2, 1]                 # d tau_hor / dx
+
+    if rand_colloc:
+        if imsize is None:
+            raise ValueError("imsize required for off-grid collocation")
+        grid = K.reshape(imsize, imsize)
+        # reference interpolates at pixel coords (x*[W-1]? -- it passes raw
+        # [0,1] coords scaled implicitly by grid indexing; match by scaling
+        # to pixel space (models/darcy.py:133 with sampler [0,1] coords maps
+        # to floor() on [0,1] which collapses to cell 0; we use the corrected
+        # pixel-space interpolation).
+        kx = x[:, 1] * (imsize - 1)
+        ky = x[:, 0] * (imsize - 1)
+        K = bilinear_interpolate(grid, kx, ky)[:, None]
+
+    loss_constitutive = jnp.mean((K * grad_u + tau) ** 2)
+    loss_continuity = jnp.mean((grad_tau_ver + grad_tau_hor) ** 2)
+    return loss_constitutive + loss_continuity
+
+
+def primal_residual_fc(model_fn: Callable, params, x: jax.Array,
+                       K_grad_ver: jax.Array, K_grad_hor: jax.Array,
+                       K: jax.Array) -> jax.Array:
+    """Second-order primal residual (models/darcy.py:51-78).
+
+    div(K grad u) expanded = gradK . gradu + K lap(u); needs second
+    derivatives — jacfwd-of-jacfwd, still one fused batched computation.
+    """
+    def u_single(pt):
+        return model_fn(params, pt[None, :])[0, 0]
+
+    grad_u = jax.vmap(jax.grad(u_single))(x)                  # (N, 2)
+    hess_u = jax.vmap(jax.hessian(u_single))(x)               # (N, 2, 2)
+    div = (K_grad_ver * grad_u[:, 0] + K * hess_u[:, 0, 0]
+           + K_grad_hor * grad_u[:, 1] + K * hess_u[:, 1, 1])
+    return jnp.mean(div ** 2)
+
+
+def primal_variational_fc(model_fn: Callable, params, x: jax.Array,
+                          K: jax.Array) -> jax.Array:
+    """Energy functional mean(0.5 K |grad u|^2) (models/darcy.py:97-110)."""
+    def u_single(pt):
+        return model_fn(params, pt[None, :])[0, 0]
+
+    grad_u = jax.vmap(jax.grad(u_single))(x)
+    return jnp.mean(0.5 * K * jnp.sum(grad_u ** 2, axis=1))
+
+
+def neumann_boundary_mixed(model_fn: Callable, params, x: jax.Array) -> jax.Array:
+    """mean(tau_ver^2) on top/bottom points (models/darcy.py:88-94)."""
+    y = model_fn(params, x)
+    return jnp.mean(y[:, 1] ** 2)

@@ -1,0 +1,161 @@
+"""Golden tests for the Darcy physics losses (conv + FC families)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pde_surrogate_tpu.ops import (
+    SobelFilter,
+    conv_boundary_condition,
+    conv_constitutive_constraint,
+    conv_constitutive_constraint_nonlinear,
+    conv_continuity_constraint,
+    mixed_residual_loss,
+    mixed_residual_fc,
+    primal_variational_fc,
+    neumann_boundary_mixed,
+    bilinear_interpolate,
+)
+
+
+def _exact_fields(n):
+    """A manufactured solution: u = 1-x, K = 1 -> sigma = (1, 0).
+
+    Satisfies the PDE, BCs (u=1 left, u=0 right, zero vertical flux) and the
+    constitutive law exactly, so every loss term must be ~0 (up to the n/(n-1)
+    scaling quirk of the Sobel operator).
+    """
+    x = np.linspace(0, 1, n)
+    u = np.tile(1 - x, (n, 1))
+    scale = n / (n - 1)  # Sobel derivative of linear field (see test_filters)
+    sigma1 = np.full((n, n), scale)
+    sigma2 = np.zeros((n, n))
+    out = np.stack([u, sigma1, sigma2], axis=-1)[None]  # (1, n, n, 3)
+    k = np.ones((1, n, n, 1))
+    return jnp.asarray(k, jnp.float32), jnp.asarray(out, jnp.float32)
+
+
+def test_manufactured_solution_zero_loss():
+    n = 64
+    k, out = _exact_fields(n)
+    sob = SobelFilter(n)
+    assert float(conv_constitutive_constraint(k, out, sob)) < 1e-8
+    assert float(conv_continuity_constraint(out, sob)) < 1e-8
+    d, nm = conv_boundary_condition(out)
+    assert float(d) < 1e-10
+    # sigma2 rows are 0 -> neumann loss 0
+    assert float(nm) < 1e-10
+
+
+def test_boundary_condition_values():
+    n = 8
+    out = np.zeros((2, n, n, 3), dtype=np.float32)
+    # u: left column = 1 => dirichlet left term 0; right col = 0.5
+    out[:, :, 0, 0] = 1.0
+    out[:, :, -1, 0] = 0.5
+    # top/bottom vertical flux = 2
+    out[:, 0, :, 2] = 2.0
+    out[:, -1, :, 2] = 2.0
+    d, nm = conv_boundary_condition(jnp.asarray(out))
+    np.testing.assert_allclose(float(d), 0.25, atol=1e-6)
+    np.testing.assert_allclose(float(nm), 4.0, atol=1e-6)
+
+
+def test_continuity_use_tb_excludes_rows(rng):
+    n = 16
+    out = jnp.asarray(rng.standard_normal((2, n, n, 3)), jnp.float32)
+    sob = SobelFilter(n)
+    full = conv_continuity_constraint(out, sob, use_tb=True)
+    inner = conv_continuity_constraint(out, sob, use_tb=False)
+    assert full.shape == () and inner.shape == ()
+    assert not np.isclose(float(full), float(inner))
+
+
+def test_nonlinear_reduces_to_linear(rng):
+    """beta1 = beta2 = 0 recovers the linear constitutive loss."""
+    n = 32
+    k = jnp.asarray(np.exp(rng.standard_normal((2, n, n, 1))), jnp.float32)
+    out = jnp.asarray(rng.standard_normal((2, n, n, 3)), jnp.float32)
+    sob = SobelFilter(n)
+    lin = conv_constitutive_constraint(k, out, sob)
+    non = conv_constitutive_constraint_nonlinear(k, out, sob, 0.0, 0.0)
+    np.testing.assert_allclose(float(lin), float(non), rtol=1e-5)
+
+
+def test_mixed_residual_loss_composition(rng):
+    n = 32
+    k = jnp.asarray(np.exp(rng.standard_normal((2, n, n, 1))), jnp.float32)
+    out = jnp.asarray(rng.standard_normal((2, n, n, 3)), jnp.float32)
+    sob = SobelFilter(n)
+    loss, (pde, d, nm) = mixed_residual_loss(k, out, sob, weight_bound=10.0)
+    expect = (float(conv_constitutive_constraint(k, out, sob))
+              + float(conv_continuity_constraint(out, sob))
+              + 10.0 * (float(d) + float(nm)))
+    np.testing.assert_allclose(float(loss), expect, rtol=1e-5)
+    assert jnp.isfinite(loss)
+
+
+def test_mixed_residual_loss_differentiable(rng):
+    n = 32
+    k = jnp.asarray(np.exp(rng.standard_normal((1, n, n, 1))), jnp.float32)
+    out = jnp.asarray(rng.standard_normal((1, n, n, 3)), jnp.float32)
+    sob = SobelFilter(n)
+    g = jax.grad(lambda o: mixed_residual_loss(k, o, sob)[0])(out)
+    assert g.shape == out.shape
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+# --- FC family -------------------------------------------------------------
+
+
+def _linear_net(w):
+    """Analytic 'network': y = [u, tau_ver, tau_hor] as linear fns of (y,x)."""
+    def f(params, pts):
+        # u = 1 - x, tau_ver = 0, tau_hor = params (constant flux)
+        u = 1.0 - pts[:, 1:2]
+        tv = jnp.zeros_like(u)
+        th = jnp.full_like(u, params)
+        return jnp.concatenate([u, tv, th], axis=1)
+    return f
+
+
+def test_mixed_residual_fc_analytic():
+    """u=1-x, K=1, tau_hor=1, tau_ver=0: constitutive residual
+    K*du/dx + tau_hor = -1 + 1 = 0 and continuity 0 -> loss 0."""
+    f = _linear_net(None)
+    pts = jnp.asarray(np.random.default_rng(1).random((50, 2)), jnp.float32)
+    k = jnp.ones((50, 1), jnp.float32)
+    loss = mixed_residual_fc(f, 1.0, pts, k)
+    assert float(loss) < 1e-10
+    # wrong flux magnitude -> positive loss
+    loss_bad = mixed_residual_fc(f, 2.0, pts, k)
+    assert float(loss_bad) > 0.2
+
+
+def test_neumann_boundary_mixed_values():
+    f = _linear_net(None)
+    pts = jnp.asarray(np.random.default_rng(2).random((20, 2)), jnp.float32)
+    assert float(neumann_boundary_mixed(f, 0.0, pts)) < 1e-12
+
+
+def test_primal_variational_analytic():
+    """u = 1-x, K=2: energy = mean(0.5*2*1) = 1."""
+    def f(params, pts):
+        return (1.0 - pts[:, 1:2])
+    pts = jnp.asarray(np.random.default_rng(3).random((40, 2)), jnp.float32)
+    k = jnp.full((40,), 2.0, jnp.float32)
+    e = primal_variational_fc(f, None, pts, k)
+    np.testing.assert_allclose(float(e), 1.0, rtol=1e-5)
+
+
+def test_bilinear_interpolate_exact_on_grid(rng):
+    im = jnp.asarray(rng.standard_normal((8, 8)), jnp.float32)
+    ys, xs = jnp.asarray([0.0, 3.0, 7.0]), jnp.asarray([2.0, 5.0, 7.0])
+    vals = bilinear_interpolate(im, xs, ys)
+    expect = np.asarray(im)[np.array([0, 3, 7]), np.array([2, 5, 7])]
+    np.testing.assert_allclose(np.asarray(vals), expect, atol=1e-6)
+    # midpoint between two grid points
+    v = bilinear_interpolate(im, jnp.asarray([2.5]), jnp.asarray([4.0]))
+    np.testing.assert_allclose(
+        float(v[0]), (float(im[4, 2]) + float(im[4, 3])) / 2, atol=1e-6)
