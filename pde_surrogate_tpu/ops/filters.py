@@ -255,8 +255,9 @@ class GaussianFilter:
         return jnp.asarray(m, dtype=jnp.float32)
 
     def __call__(self, image: jax.Array) -> jax.Array:
-        h, w = image.shape[-3], image.shape[-2]
-        if image.ndim < 3:
+        if image.ndim >= 3:  # (..., H, W, C)
+            h, w = image.shape[-3], image.shape[-2]
+        else:  # (H, W)
             h, w = image.shape[-2], image.shape[-1]
         op_h, op_w = self._op(h), self._op(w)
         return _apply_lr(image, op_h[None], op_w.T[None])
