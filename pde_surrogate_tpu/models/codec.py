@@ -1,0 +1,324 @@
+"""Dense convolutional encoder-decoder networks (Flax, NHWC).
+
+TPU-native re-design of the reference's DenseNet-style codec
+(models/codec.py:210-370): same topology — 7x7/s2 in-conv, alternating
+dense blocks and down/up transitions, a 3-conv decoding head — expressed as
+Flax modules over NHWC tensors so every convolution lands on the MXU with
+channels on the lane dimension.
+
+Parity notes
+------------
+* Channel bookkeeping matches the reference exactly: +num_layers*growth per
+  dense block, //2 per transition (models/codec.py:247-287).
+* In-conv padding is 3 for even imsize, 2 for odd (models/codec.py:238-243).
+* Upsampling: 'nearest' (default) uses jax.image.resize; 'bilinear' matches
+  torch ``UpsamplingBilinear2d(align_corners=True)`` via a precomputed
+  interpolation-matrix matmul (jax.image.resize uses half-pixel centers,
+  which is a different operator).
+* BatchNorm follows torch defaults (eps 1e-5, running-stat momentum 0.1 ==
+  flax momentum 0.9); train steps thread ``batch_stats`` mutable state.
+* ``module_size`` counts (n_params, n_conv_layers) by 'conv' in the
+  parameter path, mirroring models/codec.py:14-21.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["DenseED", "Decoder", "module_size", "activation"]
+
+
+def module_size(params) -> tuple[int, int]:
+    """(n_params, n_conv_layers) — parity with models/codec.py:14-21."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    n_params, n_conv = 0, 0
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
+        if "conv" in name:
+            n_conv += 1
+        n_params += int(np.prod(leaf.shape))
+    return n_params, n_conv
+
+
+def activation(name: str):
+    """Output activations (models/codec.py:191-203)."""
+    table = {
+        "tanh": jnp.tanh, "Tanh": jnp.tanh,
+        "relu": nn.relu, "ReLU": nn.relu,
+        "lrelu": nn.leaky_relu, "LReLU": nn.leaky_relu,
+        "sigmoid": nn.sigmoid, "Sigmoid": nn.sigmoid,
+        "softplus": lambda x: nn.softplus(4.0 * x) / 4.0, "Softplus":
+            lambda x: nn.softplus(4.0 * x) / 4.0,  # torch Softplus(beta=4)
+    }
+    if name not in table:
+        raise ValueError(f"Unknown activation function: {name}")
+    return table[name]
+
+
+@functools.lru_cache(maxsize=16)
+def _bilinear_matrix(n_in: int, scale: int = 2) -> jax.Array:
+    """(scale*n_in, n_in) align-corners linear interpolation operator."""
+    n_out = n_in * scale
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_in == 1:
+        m[:, 0] = 1.0
+        return jnp.asarray(m)
+    for i in range(n_out):
+        src = i * (n_in - 1) / (n_out - 1)
+        lo = min(int(np.floor(src)), n_in - 2)
+        w = src - lo
+        m[i, lo] += 1.0 - w
+        m[i, lo + 1] += w
+    return jnp.asarray(m)
+
+
+def upsample_nearest(x: jax.Array, scale: int = 2) -> jax.Array:
+    """Nearest-neighbor x2 upsampling, NHWC (torch UpsamplingNearest2d)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def upsample_bilinear(x: jax.Array, scale: int = 2) -> jax.Array:
+    """Bilinear x2 upsampling with align_corners=True (torch semantics)."""
+    h, w = x.shape[-3], x.shape[-2]
+    mh = _bilinear_matrix(h, scale)
+    mw = _bilinear_matrix(w, scale)
+    y = jnp.einsum("Hh,bhwc->bHwc", mh, x)
+    return jnp.einsum("bHwc,Ww->bHWc", y, mw)
+
+
+def _upsample(x: jax.Array, mode: str) -> jax.Array:
+    if mode == "nearest":
+        return upsample_nearest(x)
+    if mode == "bilinear":
+        return upsample_bilinear(x)
+    raise ValueError(f"unknown upsample mode: {mode}")
+
+
+class DenseLayer(nn.Module):
+    """BN -> ReLU -> 3x3 conv (+ optional 1x1 bottleneck), concat input.
+
+    Reference: models/codec.py:43-75.
+    """
+    growth_rate: int
+    drop_rate: float = 0.0
+    bn_size: int = 8
+    bottleneck: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        in_features = x.shape[-1]
+        y = x
+        norm = functools.partial(nn.BatchNorm, use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5)
+        if self.bottleneck and in_features > self.bn_size * self.growth_rate:
+            y = nn.relu(norm(name="norm1")(y))
+            y = nn.Conv(self.bn_size * self.growth_rate, (1, 1),
+                        use_bias=False, name="conv1")(y)
+            y = nn.relu(norm(name="norm2")(y))
+            y = nn.Conv(self.growth_rate, (3, 3), padding=1,
+                        use_bias=False, name="conv2")(y)
+        else:
+            y = nn.relu(norm(name="norm1")(y))
+            y = nn.Conv(self.growth_rate, (3, 3), padding=1,
+                        use_bias=False, name="conv1")(y)
+        if self.drop_rate > 0:
+            y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class DenseBlock(nn.Module):
+    """Cascade of DenseLayers (models/codec.py:78-86)."""
+    num_layers: int
+    growth_rate: int
+    drop_rate: float = 0.0
+    bn_size: int = 8
+    bottleneck: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for i in range(self.num_layers):
+            x = DenseLayer(self.growth_rate, self.drop_rate, self.bn_size,
+                           self.bottleneck, name=f"denselayer{i + 1}")(x, train)
+        return x
+
+
+class Transition(nn.Module):
+    """Down (strided conv) or up (upsample + conv) transition.
+
+    Reference: models/codec.py:89-160.  ``bottleneck=True`` (default) adds a
+    1x1 conv + BN/ReLU before the resampling conv.
+    """
+    out_features: int
+    down: bool
+    bottleneck: bool = True
+    drop_rate: float = 0.0
+    upsample: str | None = "nearest"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        norm = functools.partial(nn.BatchNorm, use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5)
+        x = nn.relu(norm(name="norm1")(x))
+        if self.down:
+            if self.bottleneck:
+                x = nn.Conv(self.out_features, (1, 1), use_bias=False,
+                            name="conv1")(x)
+                x = nn.relu(norm(name="norm2")(x))
+                x = nn.Conv(self.out_features, (3, 3), strides=2, padding=1,
+                            use_bias=False, name="conv2")(x)
+            else:
+                x = nn.Conv(self.out_features, (3, 3), strides=2, padding=1,
+                            use_bias=False, name="conv1")(x)
+        else:
+            if self.bottleneck:
+                x = nn.Conv(self.out_features, (1, 1), use_bias=False,
+                            name="conv1")(x)
+                x = nn.relu(norm(name="norm2")(x))
+                if self.upsample is None:
+                    x = nn.ConvTranspose(self.out_features, (3, 3), strides=(2, 2),
+                                         padding=((1, 2), (1, 2)),
+                                         use_bias=False, name="convT2")(x)
+                else:
+                    x = _upsample(x, self.upsample)
+                    x = nn.Conv(self.out_features, (3, 3), padding=1,
+                                use_bias=False, name="conv2")(x)
+            else:
+                x = nn.ConvTranspose(self.out_features, (3, 3), strides=(2, 2),
+                                     padding=((1, 2), (1, 2)),
+                                     use_bias=False, name="convT1")(x)
+        if self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        return x
+
+
+class LastDecoding(nn.Module):
+    """Final up-transition emitting predictions (models/codec.py:163-188)."""
+    out_channels: int
+    bias: bool = False
+    drop_rate: float = 0.0
+    upsample: str = "nearest"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        norm = functools.partial(nn.BatchNorm, use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5)
+        in_features = x.shape[-1]
+        x = nn.relu(norm(name="norm1")(x))
+        x = nn.Conv(in_features // 2, (3, 3), padding=1, use_bias=False,
+                    name="conv1")(x)
+        if self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        x = nn.relu(norm(name="norm2")(x))
+        x = _upsample(x, self.upsample)
+        x = nn.Conv(in_features // 4, (3, 3), padding=1, use_bias=self.bias,
+                    name="conv2")(x)
+        x = nn.relu(norm(name="norm3")(x))
+        x = nn.Conv(self.out_channels, (5, 5), padding=2, use_bias=self.bias,
+                    name="conv3")(x)
+        return x
+
+
+class DenseED(nn.Module):
+    """Dense convolutional encoder-decoder (models/codec.py:210-318).
+
+    blocks must have odd length: the first half are encoder dense blocks
+    (each followed by a down transition), the rest decoder blocks (each but
+    the last followed by an up transition), then the decoding head.
+
+    Input (B, H, W, in_channels) -> output (B, H, W, out_channels).
+    """
+    in_channels: int
+    out_channels: int
+    imsize: int
+    blocks: Sequence[int]
+    growth_rate: int = 16
+    init_features: int = 48
+    drop_rate: float = 0.0
+    bn_size: int = 8
+    bottleneck: bool = False
+    out_activation: str | None = None
+    upsample: str = "nearest"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        blocks = list(self.blocks)
+        if len(blocks) > 1 and len(blocks) % 2 == 0:
+            raise ValueError(
+                f"length of blocks must be an odd number, but got {len(blocks)}")
+        enc_blocks = blocks[: len(blocks) // 2]
+        dec_blocks = blocks[len(blocks) // 2:]
+
+        pad = 3 if self.imsize % 2 == 0 else 2
+        x = nn.Conv(self.init_features, (7, 7), strides=2, padding=pad,
+                    use_bias=False, name="in_conv")(x)
+        num_features = self.init_features
+        for i, num_layers in enumerate(enc_blocks):
+            x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
+                           self.bn_size, self.bottleneck,
+                           name=f"encblock{i + 1}")(x, train)
+            num_features += num_layers * self.growth_rate
+            x = Transition(num_features // 2, down=True,
+                           drop_rate=self.drop_rate,
+                           name=f"transdown{i + 1}")(x, train)
+            num_features //= 2
+        for i, num_layers in enumerate(dec_blocks):
+            x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
+                           self.bn_size, self.bottleneck,
+                           name=f"decblock{i + 1}")(x, train)
+            num_features += num_layers * self.growth_rate
+            if i < len(dec_blocks) - 1:
+                x = Transition(num_features // 2, down=False,
+                               drop_rate=self.drop_rate,
+                               upsample=self.upsample,
+                               name=f"transup{i + 1}")(x, train)
+                num_features //= 2
+        x = LastDecoding(self.out_channels, drop_rate=self.drop_rate,
+                         upsample=self.upsample, name="lasttransup")(x, train)
+        if self.out_activation is not None:
+            x = activation(self.out_activation)(x)
+        return x
+
+
+class Decoder(nn.Module):
+    """Decoder-only generator for single-instance solving (models/codec.py:321-370).
+
+    Maps a fixed latent (B, 16, 16, nz) through dense blocks and up
+    transitions to (B, H, W, out_channels); only the weights are optimized.
+    """
+    dim_latent: int
+    out_channels: int
+    blocks: Sequence[int]
+    growth_rate: int = 16
+    init_features: int = 48
+    drop_rate: float = 0.0
+    upsample: str = "nearest"
+    out_activation: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.init_features, (3, 3), padding=1, use_bias=False,
+                    name="conv0")(x)
+        num_features = self.init_features
+        for i, num_layers in enumerate(self.blocks):
+            x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
+                           name=f"decblock{i + 1}")(x, train)
+            num_features += num_layers * self.growth_rate
+            if i < len(self.blocks) - 1:
+                x = Transition(num_features // 2, down=False,
+                               drop_rate=self.drop_rate,
+                               upsample=self.upsample,
+                               name=f"transup{i + 1}")(x, train)
+                num_features //= 2
+        x = LastDecoding(self.out_channels, drop_rate=self.drop_rate,
+                         upsample=self.upsample, name="lasttransup")(x, train)
+        if self.out_activation is not None:
+            x = activation(self.out_activation)(x)
+        return x

@@ -1,0 +1,104 @@
+"""Shape/structure tests for DenseED, Decoder, and CPPN."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_surrogate_tpu.models.codec import (
+    DenseED, Decoder, module_size, upsample_bilinear, upsample_nearest)
+from pde_surrogate_tpu.models.cppn import CPPN, ResCPPN, fc_model_size
+
+
+@pytest.mark.parametrize("imsize", [32, 64])
+@pytest.mark.parametrize("upsample", ["nearest", "bilinear"])
+def test_dense_ed_shapes(imsize, upsample):
+    model = DenseED(in_channels=1, out_channels=3, imsize=imsize,
+                    blocks=[3, 4, 3], growth_rate=8, init_features=16,
+                    upsample=upsample)
+    x = jnp.zeros((2, imsize, imsize, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, imsize, imsize, 3)
+
+
+def test_dense_ed_odd_imsize():
+    """Odd image sizes use in-conv padding 2 (models/codec.py:238-243)."""
+    model = DenseED(1, 3, imsize=65, blocks=[3, 4, 3], growth_rate=8,
+                    init_features=16)
+    x = jnp.zeros((1, 65, 65, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    # 65 -> (65+4-7)//2+1 = 32 after in-conv; decoder mirrors to 64.
+    y = model.apply(variables, x, train=False)
+    assert y.shape[1] in (64, 65, 66)  # reference emits 64 for 65 input
+
+
+def test_dense_ed_reference_size():
+    """The north-star config (blocks [6,8,6], K=16, init 48) reproduces the
+    reference's exact parameter count: torch prints '# params 740091,
+    # conv layers 28' at construction (models/codec.py:292-293)."""
+    model = DenseED(1, 3, imsize=64, blocks=[6, 8, 6])
+    x = jnp.zeros((1, 64, 64, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    n_params, n_conv = module_size(variables["params"])
+    assert n_conv == 28
+    assert n_params == 740091
+
+
+def test_dense_ed_train_updates_batch_stats():
+    model = DenseED(1, 3, imsize=32, blocks=[2, 2, 2], growth_rate=4,
+                    init_features=8)
+    x = jnp.ones((4, 32, 32, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    y, mutated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    assert y.shape == (4, 32, 32, 3)
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_decoder_shapes():
+    model = Decoder(dim_latent=1, out_channels=3, blocks=[8, 6])
+    z = jnp.zeros((1, 16, 16, 1))
+    variables = model.init(jax.random.key(0), z, train=False)
+    y = model.apply(variables, z, train=False)
+    assert y.shape == (1, 64, 64, 3)  # 16 -> 32 (transup) -> 64 (head)
+
+
+def test_upsample_nearest_exact():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    y = upsample_nearest(x)
+    expect = np.array([[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]])
+    np.testing.assert_allclose(np.asarray(y)[0, :, :, 0], expect)
+
+
+def test_upsample_bilinear_align_corners():
+    """align_corners=True: corners map to corners exactly."""
+    x = jnp.asarray(np.random.default_rng(0).random((1, 8, 8, 2)),
+                    jnp.float32)
+    y = upsample_bilinear(x)
+    assert y.shape == (1, 16, 16, 2)
+    np.testing.assert_allclose(np.asarray(y)[0, 0, 0], np.asarray(x)[0, 0, 0],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y)[0, -1, -1],
+                               np.asarray(x)[0, -1, -1], atol=1e-6)
+
+
+def test_cppn_shapes_and_size():
+    model = CPPN(dim_in=2, dim_out=3, dim_hidden=64, layers_hidden=4)
+    x = jnp.zeros((16, 2))
+    params = model.init(jax.random.key(0), x)["params"]
+    y = model.apply({"params": params}, x)
+    assert y.shape == (16, 3)
+    n_params, n_fc = fc_model_size(params)
+    # fc0 (no bias) + 3 hidden (kernel+bias) + out (kernel+bias)
+    assert n_fc == 1 + 3 * 2 + 2
+    assert params["fc0"].get("bias") is None
+
+
+def test_res_cppn_shapes():
+    model = ResCPPN(dim_in=2, dim_out=1, dim_hidden=64, res_layers=3)
+    x = jnp.zeros((16, 2))
+    variables = model.init(jax.random.key(0), x)
+    assert model.apply(variables, x).shape == (16, 1)
