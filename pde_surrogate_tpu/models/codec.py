@@ -62,20 +62,24 @@ def activation(name: str):
 
 
 @functools.lru_cache(maxsize=16)
-def _bilinear_matrix(n_in: int, scale: int = 2) -> jax.Array:
-    """(scale*n_in, n_in) align-corners linear interpolation operator."""
+def _bilinear_matrix(n_in: int, scale: int = 2) -> np.ndarray:
+    """(scale*n_in, n_in) align-corners interpolation operator.
+
+    Cached as numpy (never jnp) so first use inside a jit trace cannot leak
+    a tracer through the cache.
+    """
     n_out = n_in * scale
     m = np.zeros((n_out, n_in), dtype=np.float32)
     if n_in == 1:
         m[:, 0] = 1.0
-        return jnp.asarray(m)
+        return m
     for i in range(n_out):
         src = i * (n_in - 1) / (n_out - 1)
         lo = min(int(np.floor(src)), n_in - 2)
         w = src - lo
         m[i, lo] += 1.0 - w
         m[i, lo + 1] += w
-    return jnp.asarray(m)
+    return m
 
 
 def upsample_nearest(x: jax.Array, scale: int = 2) -> jax.Array:

@@ -136,8 +136,9 @@ def _sobel_operators(imsize: int, filter_size: int, correct: bool):
         # left-multiplied by modifier.T (utils/image_gradient.py:86-90).
         lv.append(imsize * mod.T @ d / norm)
         rv.append(s.T)
-    f32 = lambda a: jnp.asarray(np.asarray(a), dtype=jnp.float32)
-    return tuple(f32(np.stack(x)) for x in (lh, rh, lv, rv))
+    # cache numpy (never jnp): a jnp constant created inside a jit trace
+    # would be a tracer and leak out of the cache into later traces.
+    return tuple(np.stack(x).astype(np.float32) for x in (lh, rh, lv, rv))
 
 
 def _apply_lr(image: jax.Array, left: jax.Array, right: jax.Array,
@@ -252,7 +253,7 @@ class GaussianFilter:
                 while j < 0 or j >= n:
                     j = -j if j < 0 else 2 * (n - 1) - j
                 m[i, j] += wk
-        return jnp.asarray(m, dtype=jnp.float32)
+        return m.astype(np.float32)
 
     def __call__(self, image: jax.Array) -> jax.Array:
         if image.ndim >= 3:  # (..., H, W, C)
@@ -289,7 +290,7 @@ class FourierFilter:
         p, d = self._TAPS[filter_size]
         s = stencil_matrix(self.imsize, p)
         df = stencil_matrix(self.imsize, d)
-        f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+        f32 = lambda a: np.asarray(a, dtype=np.float32)
         return f32(s[None]), f32((self.imsize * df.T)[None]), \
             f32((self.imsize * df)[None]), f32(s.T[None])
 

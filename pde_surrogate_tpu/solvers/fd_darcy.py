@@ -1,0 +1,215 @@
+"""Batched finite-volume Darcy solvers in pure JAX.
+
+Replaces the reference's out-of-process FEniCS oracle (utils/fenics.py:13-91)
+with an in-framework, jit/vmap-able solver, and doubles as the labeled-data
+factory: the reference downloads FEniCS-solved datasets
+(scripts/download_datasets.sh), while this framework *generates* them on
+device — thousands of permeability samples solved in parallel with one vmap.
+
+Problem (solve_conv_mixed_residual.py:3-8):
+
+    div(K(s) grad u(s)) = 0        on (0,1)^2
+    u = 1 at x=0,  u = 0 at x=1,   zero vertical flux at y in {0,1}
+
+Discretization: node-centered 5-point finite volumes on an n x n grid
+(h = 1/(n-1)), harmonic-mean face conductivities, zero-flux top/bottom via
+mirror faces.  Dirichlet columns are eliminated so the operator is SPD and
+conjugate gradients applies; the matvec is a stencil (rolls + elementwise),
+which XLA fuses into a few VPU passes — no sparse matrices anywhere.
+
+The nonlinear law (models/darcy.py:179-191)
+
+    -K grad u = sigma + alpha1 sqrt(K) sigma^2 + alpha2 K sigma^3
+
+is solved by Newton on the primal unknown with the Jacobian applied
+matrix-free through `jax.jvp` and inner CG solves — the whole Newton loop is
+one jitted computation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["solve_darcy", "solve_darcy_batch", "solve_nonlinear_darcy",
+           "darcy_fields"]
+
+
+def _face_conductivities(K: jax.Array):
+    """Harmonic-mean conductivities on east/west/north/south faces.
+
+    K: (n, n) nodal permeability, rows = y, cols = x.
+    Returns (aE, aW, aN, aS) with zero entries where the face leaves the
+    domain (top/bottom => built-in zero Neumann flux).
+    """
+    harm = lambda a, b: 2.0 * a * b / (a + b)
+    aE = jnp.zeros_like(K).at[:, :-1].set(harm(K[:, :-1], K[:, 1:]))
+    aW = jnp.zeros_like(K).at[:, 1:].set(harm(K[:, 1:], K[:, :-1]))
+    aS = jnp.zeros_like(K).at[:-1, :].set(harm(K[:-1, :], K[1:, :]))
+    aN = jnp.zeros_like(K).at[1:, :].set(harm(K[1:, :], K[:-1, :]))
+    return aE, aW, aN, aS
+
+
+def _apply_operator(v: jax.Array, faces) -> jax.Array:
+    """A v for the 5-point operator, v zero on the Dirichlet columns.
+
+    Returns -div(K grad v) * h^2 restricted to the interior columns
+    (the Dirichlet columns of the result are forced to v, i.e. identity,
+    keeping the operator SPD on the constrained subspace).
+    """
+    aE, aW, aN, aS = faces
+    vE = jnp.zeros_like(v).at[:, :-1].set(v[:, 1:])
+    vW = jnp.zeros_like(v).at[:, 1:].set(v[:, :-1])
+    vS = jnp.zeros_like(v).at[:-1, :].set(v[1:, :])
+    vN = jnp.zeros_like(v).at[1:, :].set(v[:-1, :])
+    lap = (aE * (vE - v) + aW * (vW - v) + aN * (vN - v) + aS * (vS - v))
+    out = -lap
+    # Dirichlet columns: identity rows
+    out = out.at[:, 0].set(v[:, 0])
+    out = out.at[:, -1].set(v[:, -1])
+    return out
+
+
+def _interior_mask(n: int) -> jax.Array:
+    m = jnp.ones((n, n))
+    return m.at[:, 0].set(0.0).at[:, -1].set(0.0)
+
+
+def solve_darcy(K: jax.Array, tol: float = 1e-8, maxiter: int = 4000) -> jax.Array:
+    """Pressure field u (n, n) for permeability K (n, n), linear Darcy law.
+
+    Jacobi-preconditioned CG on the eliminated-Dirichlet system; fully
+    jittable and vmap-able.
+    """
+    n = K.shape[-1]
+    faces = _face_conductivities(K)
+    aE, aW, aN, aS = faces
+    mask = _interior_mask(n)
+
+    # boundary lift: u_d = 1 on left column, 0 elsewhere
+    u_d = jnp.zeros((n, n), K.dtype).at[:, 0].set(1.0)
+    # rhs = -A u_d on the interior (Dirichlet columns of rhs = 0 so the CG
+    # iterates stay in the constrained subspace)
+    b = -(_apply_operator(u_d, faces)) * mask
+
+    diag = aE + aW + aN + aS
+    inv_diag = mask / jnp.maximum(diag, 1e-30) + (1.0 - mask)
+
+    def matvec(v):
+        return _apply_operator(v * mask, faces) * mask + v * (1.0 - mask)
+
+    def precond(v):
+        return v * inv_diag
+
+    v, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=tol, maxiter=maxiter,
+                                      M=precond)
+    return u_d + v * mask
+
+
+def _grad_fd(u: jax.Array, axis: int, h: float) -> jax.Array:
+    """Second-order FD gradient (central interior, one-sided boundary)."""
+    u = jnp.moveaxis(u, axis, -1)
+    interior = (u[..., 2:] - u[..., :-2]) / (2 * h)
+    first = (-3 * u[..., 0] + 4 * u[..., 1] - u[..., 2]) / (2 * h)
+    last = (3 * u[..., -1] - 4 * u[..., -2] + u[..., -3]) / (2 * h)
+    g = jnp.concatenate([first[..., None], interior, last[..., None]], axis=-1)
+    return jnp.moveaxis(g, -1, axis)
+
+
+def darcy_fields(K: jax.Array, u: jax.Array) -> jax.Array:
+    """Stack (u, sigma1, sigma2) = (pressure, -K du/dx, -K du/dy), (3, n, n).
+
+    Matches the dataset channel layout (solve_conv_mixed_residual.py:98).
+    """
+    n = K.shape[-1]
+    h = 1.0 / (n - 1)
+    sigma1 = -K * _grad_fd(u, axis=-1, h=h)
+    sigma2 = -K * _grad_fd(u, axis=-2, h=h)
+    return jnp.stack([u, sigma1, sigma2], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "maxiter"))
+def solve_darcy_batch(K_batch: jax.Array, tol: float = 1e-8,
+                      maxiter: int = 4000) -> jax.Array:
+    """Solve a batch: (B, n, n) permeabilities -> (B, 3, n, n) fields."""
+    def one(K):
+        u = solve_darcy(K, tol=tol, maxiter=maxiter)
+        return darcy_fields(K, u)
+    return jax.vmap(one)(K_batch)
+
+
+# ---------------------------------------------------------------------------
+# Nonlinear law
+# ---------------------------------------------------------------------------
+
+
+def _sigma_from_grad(K: jax.Array, g: jax.Array, alpha1: float,
+                     alpha2: float, newton_iters: int = 20) -> jax.Array:
+    """Componentwise solve sigma + a1 sqrt(K) sigma^2 + a2 K sigma^3 = -K g.
+
+    The cubic is strictly monotone for alpha2 >= alpha1^2/3 (discriminant of
+    f' negative), so scalar Newton from the linear guess converges; iterations
+    are vectorized over the whole field.
+    """
+    rhs = -K * g
+    s = rhs  # linear-law initialization
+
+    def body(_, s):
+        f = s + alpha1 * jnp.sqrt(K) * s * s + alpha2 * K * s ** 3 - rhs
+        fp = 1.0 + 2.0 * alpha1 * jnp.sqrt(K) * s + 3.0 * alpha2 * K * s * s
+        return s - f / fp
+
+    return jax.lax.fori_loop(0, newton_iters, body, s)
+
+
+def solve_nonlinear_darcy(K: jax.Array, alpha1: float = 1.0,
+                          alpha2: float = 1.0, newton_iters: int = 12,
+                          cg_tol: float = 1e-6, cg_maxiter: int = 2000):
+    """Solve the nonlinear Darcy problem; returns (3, n, n) fields.
+
+    Primal Newton: residual N(u) = div sigma(grad u) (finite-volume form with
+    the same mirror/Dirichlet handling as the linear path); the Jacobian
+    matvec is `jax.jvp(N, u)` and each Newton step solves J du = -N(u) with
+    CG — everything stays inside one jit.
+
+    Replaces utils/fenics.py:13-91 (DRT x CG mixed elements + Newton).
+    """
+    n = K.shape[-1]
+    h = 1.0 / (n - 1)
+    mask = _interior_mask(n)
+    u_d = jnp.zeros((n, n), K.dtype).at[:, 0].set(1.0)
+
+    # face permeabilities (harmonic) and zero flux through top/bottom walls
+    harm = lambda a, b: 2.0 * a * b / (a + b)
+    Kx = harm(K[:, :-1], K[:, 1:])          # vertical faces, (n, n-1)
+    Ky = harm(K[:-1, :], K[1:, :])          # horizontal faces, (n-1, n)
+
+    def residual(v):
+        u = u_d + v * mask
+        gx = (u[:, 1:] - u[:, :-1]) / h     # du/dx on vertical faces
+        gy = (u[1:, :] - u[:-1, :]) / h     # du/dy on horizontal faces
+        sx = _sigma_from_grad(Kx, gx, alpha1, alpha2)
+        sy = _sigma_from_grad(Ky, gy, alpha1, alpha2)
+        div = (jnp.pad(sx, ((0, 0), (0, 1)))[:, :] - jnp.pad(sx, ((0, 0), (1, 0)))[:, :]
+               + jnp.pad(sy, ((0, 1), (0, 0))) - jnp.pad(sy, ((1, 0), (0, 0))))
+        return div / h * mask
+
+    def newton_step(_, v):
+        r = residual(v)
+        jac = lambda dv: jax.jvp(residual, (v,), (dv,))[1]
+        dv, _ = jax.scipy.sparse.linalg.cg(lambda x: jac(x),  # J is SPD-like
+                                           -r, tol=cg_tol, maxiter=cg_maxiter)
+        return v + dv
+
+    v = jax.lax.fori_loop(0, newton_iters, newton_step,
+                          jnp.zeros_like(K))
+    u = u_d + v * mask
+    # nodal fluxes from the nonlinear law applied to nodal gradients
+    gx_n = _grad_fd(u, axis=-1, h=h)
+    gy_n = _grad_fd(u, axis=-2, h=h)
+    sigma1 = _sigma_from_grad(K, gx_n, alpha1, alpha2)
+    sigma2 = _sigma_from_grad(K, gy_n, alpha1, alpha2)
+    return jnp.stack([u, sigma1, sigma2], axis=0)

@@ -1,0 +1,152 @@
+"""Jitted training/eval steps for the DenseED codec drivers.
+
+Covers both reference drivers:
+  * physics-constrained (label-free) mixed-residual training
+    (train_codec_mixed_residual.py:224-239)
+  * data-driven maximum-likelihood (MSE) training
+    (train_codec_max_likelihood.py:201-213)
+
+One fused jit region per step: forward, physics loss (MXU stencils),
+backward, optimizer update, BN running stats — with buffer donation so the
+parameters update in place in HBM.  The LR schedule is folded into optax
+(inject_hyperparams) so per-step Python never touches the optimizer.
+
+Under a data mesh the same step runs SPMD: batches sharded on the leading
+axis, state replicated; XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ..ops.darcy import mixed_residual_loss
+from ..ops.filters import SobelFilter
+from ..utils.metrics import relative_l2, squared_error_sum
+from .schedules import one_cycle_schedule
+
+__all__ = ["CodecState", "create_state", "make_mixed_residual_step",
+           "make_mle_step", "make_eval_step", "current_lr"]
+
+
+class CodecState(NamedTuple):
+    """Replicated training state (a plain pytree: easy to checkpoint/shard)."""
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_state(model, key, sample_input, lr_max: float, total_steps: int,
+                 div_factor: float = 2.0, pct_start: float = 0.3,
+                 weight_decay: float = 0.0):
+    """Initialize params/batch_stats and the optax Adam + OneCycle optimizer.
+
+    Reference optimizer: Adam(lr, weight_decay) + OneCycleScheduler
+    (train_codec_mixed_residual.py:151-154).
+    """
+    variables = model.init(key, sample_input, train=False)
+    schedule = one_cycle_schedule(lr_max, total_steps, div_factor, pct_start)
+    tx = optax.inject_hyperparams(_adam_l2, static_args=("weight_decay",))(
+        learning_rate=schedule, weight_decay=weight_decay)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    opt_state = tx.init(params)
+    state = CodecState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state)
+    return state, tx
+
+
+def _adam_l2(learning_rate, weight_decay: float = 0.0):
+    """Adam with decoupled-from-schedule L2 (torch Adam weight_decay adds
+    wd * p to the gradient before the moment updates)."""
+    parts = []
+    if weight_decay > 0:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.adam(learning_rate))
+    return optax.chain(*parts)
+
+
+def current_lr(state: CodecState) -> float:
+    """Scheduled LR at the current step (for logging)."""
+    hp = state.opt_state.hyperparams
+    return float(hp["learning_rate"])
+
+
+def make_mixed_residual_step(model, tx, sobel: SobelFilter,
+                             weight_bound: float = 10.0,
+                             nonlinear: str | None = None):
+    """Label-free physics-constrained step: batch is (K,) images only."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: CodecState, x):
+        def loss_fn(params):
+            output, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"])
+            loss, (pde, dirichlet, neumann) = mixed_residual_loss(
+                x, output, sobel, weight_bound, nonlinear)
+            return loss, (mutated["batch_stats"], pde, dirichlet, neumann)
+
+        (loss, (bstats, pde, diri, neum)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = CodecState(state.step + 1, params, bstats, opt_state)
+        metrics = {"loss": loss, "loss_pde": pde, "loss_dirichlet": diri,
+                   "loss_neumann": neum}
+        return new_state, metrics
+
+    return step
+
+
+def make_mle_step(model, tx):
+    """Data-driven MSE step (train_codec_max_likelihood.py:201-213)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: CodecState, x, y):
+        def loss_fn(params):
+            output, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"])
+            loss = jnp.mean((output - y) ** 2)
+            return loss, mutated["batch_stats"]
+
+        (loss, bstats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = CodecState(state.step + 1, params, bstats, opt_state)
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def make_eval_step(model, sobel: SobelFilter, weight_bound: float = 10.0,
+                   nonlinear: str | None = None):
+    """Test-set step: physics loss + per-sample metrics vs targets.
+
+    Mirrors the reference test() (train_codec_mixed_residual.py:166-206):
+    BN in eval mode (running stats), physics loss on the test batch, and the
+    (rel_l2, sse) per-channel statistics for NRMSE / R^2.
+    """
+
+    @jax.jit
+    def step(state: CodecState, x, y):
+        output = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False)
+        loss, (pde, diri, neum) = mixed_residual_loss(
+            x, output, sobel, weight_bound, nonlinear)
+        return {
+            "loss": loss,
+            "rel_l2": relative_l2(output, y),
+            "sse": squared_error_sum(output, y),
+            "output": output,
+        }
+
+    return step

@@ -1,0 +1,99 @@
+"""Validation of the finite-volume Darcy solvers (the FEniCS replacement)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pde_surrogate_tpu.solvers.fd_darcy import (
+    solve_darcy, solve_darcy_batch, solve_nonlinear_darcy, darcy_fields)
+from pde_surrogate_tpu.data.grf import sample_kle
+
+
+def test_constant_k_linear_solution():
+    """K = 1: exact solution u = 1 - x, sigma = (1, 0)."""
+    n = 33
+    K = jnp.ones((n, n))
+    u = solve_darcy(K)
+    x = np.linspace(0, 1, n)
+    np.testing.assert_allclose(np.asarray(u), np.tile(1 - x, (n, 1)),
+                               atol=1e-5)
+    fields = np.asarray(darcy_fields(K, u))
+    np.testing.assert_allclose(fields[1], 1.0, atol=1e-4)
+    np.testing.assert_allclose(fields[2], 0.0, atol=1e-4)
+
+
+def test_layered_k_exact():
+    """K = K(x) separable: u(x) solves (K u')' = 0 -> flux is constant.
+
+    For K = 1 + x the exact solution is u = 1 - ln(1+x)/ln 2 with constant
+    horizontal flux 1/ln 2.
+    """
+    n = 65
+    x = np.linspace(0, 1, n)
+    K = jnp.asarray(np.tile(1 + x, (n, 1)))
+    u = solve_darcy(K)
+    expect = 1 - np.log(1 + x) / np.log(2)
+    np.testing.assert_allclose(np.asarray(u), np.tile(expect, (n, 1)),
+                               atol=2e-3)
+    fields = np.asarray(darcy_fields(K, u))
+    np.testing.assert_allclose(fields[1][:, 2:-2], 1 / np.log(2), atol=5e-3)
+
+
+def test_flux_conservation_random_k(rng):
+    """Finite-volume mass balance: the total horizontal *face* flux through
+    every vertical cut is identical (exact up to CG tolerance)."""
+    n = 32
+    K = np.asarray(sample_kle(1, n, 64, rng=rng)[0], dtype=np.float64)
+    u = np.asarray(solve_darcy(jnp.asarray(K)), dtype=np.float64)
+    h = 1.0 / (n - 1)
+    k_face = 2 * K[:, :-1] * K[:, 1:] / (K[:, :-1] + K[:, 1:])
+    flux = -k_face * (u[:, 1:] - u[:, :-1]) / h  # (n, n-1) face fluxes
+    cut = flux.sum(axis=0)
+    assert np.abs(cut - cut.mean()).max() / np.abs(cut.mean()) < 1e-4
+    # and the nodal sigma1 field agrees with the face fluxes to O(h)
+    fields = np.asarray(darcy_fields(jnp.asarray(K), jnp.asarray(u)))
+    col_flux = fields[1].sum(axis=0)[3:-3]
+    assert np.abs(col_flux - cut.mean()).max() / np.abs(cut.mean()) < 0.15
+
+
+def test_boundary_conditions_random_k(rng):
+    n = 32
+    K = jnp.asarray(sample_kle(1, n, 64, rng=rng)[0])
+    u = np.asarray(solve_darcy(K))
+    np.testing.assert_allclose(u[:, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(u[:, -1], 0.0, atol=1e-6)
+    assert u.min() > -1e-3 and u.max() < 1 + 1e-3  # maximum principle
+
+
+def test_batch_solver(rng):
+    n = 32
+    K = jnp.asarray(sample_kle(3, n, 64, rng=rng))
+    out = solve_darcy_batch(K)
+    assert out.shape == (3, 3, n, n)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_nonlinear_reduces_to_linear():
+    """alpha1 = alpha2 = 0 recovers the linear solution."""
+    n = 33
+    K = jnp.ones((n, n)) * 2.0
+    lin = np.asarray(darcy_fields(K, solve_darcy(K)))
+    non = np.asarray(solve_nonlinear_darcy(K, alpha1=0.0, alpha2=0.0))
+    np.testing.assert_allclose(non[0], lin[0], atol=1e-4)
+
+
+def test_nonlinear_constant_k():
+    """K = 1, alpha1 = alpha2 = 1: by symmetry u is 1-D in x; the flux law
+    changes the profile but BCs and monotonicity must hold, and the
+    constitutive relation must be satisfied pointwise."""
+    n = 33
+    K = jnp.ones((n, n))
+    out = np.asarray(solve_nonlinear_darcy(K, 1.0, 1.0))
+    u, s1, _ = out
+    np.testing.assert_allclose(u[:, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(u[:, -1], 0.0, atol=1e-5)
+    assert np.all(np.diff(u[n // 2]) <= 1e-6)  # monotone in x
+    # constitutive check at interior nodes: -K du/dx = s + sqrt(K) s^2 + K s^3
+    h = 1.0 / (n - 1)
+    dudx = (u[:, 2:] - u[:, :-2]) / (2 * h)
+    rhs = s1 + s1 ** 2 + s1 ** 3
+    np.testing.assert_allclose(-dudx[:, :], rhs[:, 1:-1], atol=5e-3)
