@@ -1,0 +1,226 @@
+"""Shared machinery for the DenseED codec drivers.
+
+Both reference drivers share one skeleton (SURVEY.md section 3.1): data
+loading, Adam + OneCycle, an epoch loop of jitted steps, a test() pass with
+NRMSE/R^2 against solver-labeled data, periodic checkpoints/plots, and a
+final stats dump.  This module implements that skeleton once; the drivers
+select the loss (mixed-residual vs MLE).
+
+Dataset availability: the reference downloads FEniCS-solved datasets; this
+framework generates them on demand (GRF-KLE inputs + the finite-volume
+solver as the labeled-data factory) when the HDF5 files are missing.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.grf import sample_channelized, sample_kle
+from ..data.hdf5 import dataset_path, load_data, save_dataset
+from ..data.pipeline import DeviceDataset
+from ..models.codec import DenseED, module_size
+from ..ops.filters import SobelFilter
+from ..parallel.mesh import batch_sharding, data_mesh, replicate
+from ..solvers.fd_darcy import solve_darcy_batch
+from ..train.checkpoint import restore_checkpoint, save_checkpoint
+from ..train.codec_trainer import (create_state, current_lr, make_eval_step,
+                                   make_mixed_residual_step, make_mle_step)
+from ..utils.metrics import r2_score
+from ..viz.plot import plot_prediction_det, save_stats
+
+__all__ = ["ensure_dataset", "resolve_dataset_files", "run_codec_training"]
+
+
+def _generate_inputs(data: str, n: int, imsize: int, kle: int, seed: int):
+    if data.startswith("grf"):
+        return sample_kle(n, imsize, kle, rng=seed)
+    if data == "channelized":
+        return sample_channelized(n, imsize, rng=seed)
+    raise ValueError(f"unknown data family: {data}")
+
+
+def ensure_dataset(path: str, data: str, n: int, imsize: int, kle: int,
+                   seed: int, with_output: bool, solve_batch: int = 64):
+    """Generate-and-cache a dataset file if absent.
+
+    Labeled sets are solved with the batched finite-volume Darcy solver
+    (replaces the reference's downloaded FEniCS outputs).
+    """
+    if os.path.isfile(path):
+        import h5py
+        with h5py.File(path, "r") as f:
+            have_output = "output" in f
+            have_n = f["input"].shape[0]
+        if have_n >= n and (have_output or not with_output):
+            return
+        os.remove(path)  # regenerate with outputs / more samples
+    print(f"[data] generating {path} ({n} samples, imsize {imsize})...")
+    k = _generate_inputs(data, n, imsize, kle, seed)
+    y = None
+    if with_output:
+        outs = []
+        for i in range(0, n, solve_batch):
+            batch = jnp.asarray(k[i:i + solve_batch])
+            outs.append(np.asarray(solve_darcy_batch(batch)))
+        y = np.concatenate(outs, 0)  # (N, 3, H, W)
+    save_dataset(path, k[:, None, :, :], y)
+    print(f"[data] wrote {path}")
+
+
+def resolve_dataset_files(args, need_train_output: bool = False):
+    """Reference dataset paths per family (train_codec_mixed_residual.py:128-139).
+
+    ``need_train_output``: MLE training needs solver labels for the training
+    split too; label-free physics training generates inputs only.
+    """
+    if args.data == "grf_kle512":
+        train = dataset_path(args.data_dir, args.imsize,
+                             "kle512_lhs10000_train")
+        test = dataset_path(args.data_dir, args.imsize, "kle512_lhs1000_val")
+        ntrain_total, ntest_total = 10000, 1000
+        kle = 512
+    elif args.data == "channelized":
+        train = dataset_path(args.data_dir, args.imsize,
+                             "channel_ng64_n4096_train")
+        test = dataset_path(args.data_dir, args.imsize,
+                            "channel_ng64_n512_test")
+        ntrain_total, ntest_total = 4096, 512
+        kle = 0
+    else:
+        raise ValueError(f"unknown data option: {args.data}")
+    assert args.ntrain <= ntrain_total and args.ntest <= ntest_total
+    # generate lazily at the size actually needed (inputs only for train)
+    ensure_dataset(train, args.data.replace("_kle512", ""),
+                   max(args.ntrain, 1), args.imsize, kle, seed=10_000 + kle,
+                   with_output=need_train_output)
+    ensure_dataset(test, args.data.replace("_kle512", ""),
+                   max(args.ntest, 1), args.imsize, kle, seed=20_000 + kle,
+                   with_output=True)
+    return train, test
+
+
+def run_codec_training(args, loss_kind: str):
+    """The epoch loop shared by both codec drivers.
+
+    loss_kind: 'mixed_residual' (label-free physics) or 'mle' (MSE).
+    """
+    args.train_dir = os.path.join(args.run_dir, "training")
+    args.pred_dir = os.path.join(args.train_dir, "predictions")
+    os.makedirs(args.pred_dir, exist_ok=True)
+
+    mesh = data_mesh(args.n_devices) if args.n_devices else None
+    sharding = batch_sharding(mesh) if mesh else None
+
+    model = DenseED(in_channels=1, out_channels=3, imsize=args.imsize,
+                    blocks=args.blocks, growth_rate=args.growth_rate,
+                    init_features=args.init_features,
+                    drop_rate=args.drop_rate, out_activation=None,
+                    upsample=args.upsample)
+
+    train_file, test_file = resolve_dataset_files(
+        args, need_train_output=(loss_kind == "mle"))
+    x_train, y_train, _ = load_data(train_file, args.ntrain,
+                                    only_input=(loss_kind == "mixed_residual"))
+    x_test, y_test, stats = load_data(test_file, args.ntest, only_input=False,
+                                      return_stats=True)
+    y_variation = stats["y_variation"]
+    print(f"Test output variation per channel: {y_variation}")
+
+    train_arrays = (x_train,) if y_train is None else (x_train, y_train)
+    train_ds = DeviceDataset(*train_arrays, batch_size=args.batch_size,
+                             key=args.seed, sharding=sharding)
+    test_ds = DeviceDataset(x_test, y_test, batch_size=args.test_batch_size,
+                            key=args.seed + 1, sharding=sharding,
+                            shuffle=False)
+
+    total_steps = args.epochs * len(train_ds)
+    print(f"total steps: {total_steps}")
+    sample = jnp.asarray(x_train[: max(args.batch_size // 8, 1)])
+    state, tx = create_state(model, jax.random.key(args.seed), sample,
+                             lr_max=args.lr, total_steps=total_steps,
+                             div_factor=args.lr_div, pct_start=args.lr_pct,
+                             weight_decay=args.weight_decay)
+    n_params, n_layers = module_size(state.params)
+    print(f"# params {n_params}, # conv layers {n_layers}")
+
+    sobel = SobelFilter(args.imsize, correct=True)
+    if loss_kind == "mixed_residual":
+        train_step = make_mixed_residual_step(model, tx, sobel,
+                                              args.weight_bound)
+    else:
+        train_step = make_mle_step(model, tx)
+    eval_step = make_eval_step(model, sobel, args.weight_bound)
+
+    start_epoch = 1
+    if args.ckpt_epoch is not None:
+        state = restore_checkpoint(args.ckpt_dir, args.ckpt_epoch, state)
+        start_epoch = args.ckpt_epoch + 1
+        print(f"Loaded ckpt at epoch {args.ckpt_epoch}; resume "
+              f"from {start_epoch} to {args.epochs}")
+
+    if mesh:
+        state = replicate(state, mesh)
+
+    logger = {"loss_train": [], "loss_test": [], "r2_test": [],
+              "nrmse_test": []}
+
+    def test(epoch, state):
+        loss_sum, rel, sse = 0.0, [], []
+        plot_batch = None
+        for x, y in test_ds.batches(epoch):
+            out = eval_step(state, x, y)
+            loss_sum += float(out["loss"])
+            rel.append(np.asarray(out["rel_l2"]))
+            sse.append(np.asarray(out["sse"]))
+            plot_batch = (np.asarray(y), np.asarray(out["output"]))
+        loss_test = loss_sum / len(test_ds)
+        relative_l2 = np.concatenate(rel, 0).mean(0)
+        r2 = np.asarray(r2_score(jnp.asarray(np.concatenate(sse, 0).sum(0)),
+                                 jnp.asarray(y_variation)))
+        print(f"Epoch {epoch}: test r2-score: {r2}")
+        print(f"Epoch {epoch}: test relative-l2: {relative_l2}")
+        if (not args.no_plot and plot_batch is not None
+                and (epoch % args.plot_freq == 0 or epoch == args.epochs)):
+            n_samples = 6 if epoch == args.epochs else 2
+            y_np, out_np = plot_batch
+            idx = np.random.permutation(len(y_np))[:n_samples]
+            for i in idx:
+                plot_prediction_det(args.pred_dir, y_np[i], out_np[i], epoch,
+                                    int(i), plot_fn=args.plot_fn)
+        if epoch % args.log_freq == 0:
+            logger["loss_test"].append(loss_test)
+            logger["r2_test"].append(r2.tolist())
+            logger["nrmse_test"].append(relative_l2.tolist())
+
+    print("Start training..." + "." * 47)
+    tic = time.time()
+    for epoch in range(start_epoch, args.epochs + 1):
+        loss_train = 0.0
+        for batch in train_ds.batches(epoch):
+            state, metrics = train_step(state, *batch)
+            loss_train += float(metrics["loss"])
+        loss_train /= len(train_ds)
+        print(f"Epoch {epoch}, lr {current_lr(state):.6f}")
+        print(f"Epoch {epoch}: training loss: {loss_train:.6f}")
+        if epoch % args.log_freq == 0:
+            logger["loss_train"].append(loss_train)
+        if epoch % args.ckpt_freq == 0:
+            save_checkpoint(args.ckpt_dir, epoch, state,
+                            meta={"epoch": epoch, "logger": logger})
+        test(epoch, state)
+
+    training_time = time.time() - tic
+    print(f"Finished training {args.epochs} epochs with {args.ntrain} data "
+          f"using {training_time / 60:.2f} mins")
+    save_stats(args.train_dir, logger, "loss_train", "loss_test",
+               "nrmse_test", "r2_test")
+    args.training_time = training_time
+    args.n_params, args.n_layers = n_params, n_layers
+    from ..data.hdf5 import save_args
+    save_args(args.run_dir, args)
+    return state, logger

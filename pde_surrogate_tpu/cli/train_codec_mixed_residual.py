@@ -1,0 +1,70 @@
+"""Physics-constrained codec surrogate, label-free mixed-residual training.
+
+TPU-native driver with the reference's CLI surface
+(train_codec_mixed_residual.py:37-98): same hyperparameters and defaults,
+same run-dir naming, same metrics.  ``--cuda`` is replaced by
+``--n-devices`` (size of the data mesh; default all local devices... or
+single-device when 1).
+
+Run:  python -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
+          --data grf_kle512 --ntrain 4096 --batch-size 32
+"""
+
+from __future__ import annotations
+
+from ..utils.config import BaseParser, int_list
+from ._codec_common import run_codec_training
+
+
+class Parser(BaseParser):
+    def __init__(self):
+        super().__init__(
+            description="Learning surrogate with mixed residual norm loss")
+        self.add_argument("--exp-name", type=str,
+                          default="codec/mixed_residual")
+        self.add_argument("--exp-dir", type=str, default="./experiments")
+        # codec
+        self.add_argument("--blocks", type=int_list, default=[6, 8, 6])
+        self.add_argument("--growth-rate", type=int, default=16)
+        self.add_argument("--init-features", type=int, default=48)
+        self.add_argument("--drop-rate", type=float, default=0.0)
+        self.add_argument("--upsample", type=str, default="nearest",
+                          choices=["nearest", "bilinear"])
+        # data
+        self.add_argument("--data-dir", type=str, default="./datasets")
+        self.add_argument("--data", type=str, default="grf_kle512",
+                          choices=["grf_kle512", "channelized"])
+        self.add_argument("--ntrain", type=int, default=4096)
+        self.add_argument("--ntest", type=int, default=512)
+        self.add_argument("--imsize", type=int, default=64)
+        # training
+        self.add_argument("--run", type=int, default=1)
+        self.add_argument("--epochs", type=int, default=300)
+        self.add_argument("--lr", type=float, default=1e-3)
+        self.add_argument("--lr-div", type=float, default=2.0)
+        self.add_argument("--lr-pct", type=float, default=0.3)
+        self.add_argument("--weight-decay", type=float, default=0.0)
+        self.add_argument("--weight-bound", type=float, default=10.0)
+        self.add_argument("--batch-size", type=int, default=32)
+        self.add_argument("--test-batch-size", type=int, default=64)
+        self.add_argument("--seed", type=int, default=1)
+        self.add_argument("--n-devices", type=int, default=None,
+                          help="data-mesh size (None: single device)")
+        self.add_logging_args(ckpt_freq=100, log_freq=1, plot_freq=50)
+
+    def parse(self, argv=None):
+        args = self.parse_args(argv)
+        hparams = (f"{args.data}_ntrain{args.ntrain}_run{args.run}_"
+                   f"bs{args.batch_size}_lr{args.lr}_epochs{args.epochs}")
+        assert args.ntrain % args.batch_size == 0 and \
+            args.ntest % args.test_batch_size == 0
+        return self.finalize(args, hparams)
+
+
+def main(argv=None):
+    args = Parser().parse(argv)
+    return run_codec_training(args, loss_kind="mixed_residual")
+
+
+if __name__ == "__main__":
+    main()
