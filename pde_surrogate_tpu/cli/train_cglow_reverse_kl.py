@@ -1,0 +1,248 @@
+"""Probabilistic surrogate: multiscale conditional Glow, reverse-KL training.
+
+Label-free: the loss is beta * (physics residual + boundary) on generated
+samples plus the predictive entropy (bits/pixel).  CLI parity with the
+reference (train_cglow_reverse_kl.py:28-105) including resume semantics;
+``--no-LU-decompose`` switches the 1x1 convs to the dense-inverse variant
+(LU is the default, as in the reference).
+
+Run:  python -m pde_surrogate_tpu.cli.train_cglow_reverse_kl \
+          --beta 150 --ntrain 4096 --kle 100 --imsize 32
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.hdf5 import dataset_path, load_data, save_args
+from ..data.pipeline import DeviceDataset
+from ..models.codec import module_size
+from ..models.glow import MultiScaleCondGlow
+from ..ops.filters import SobelFilter
+from ..train.checkpoint import (latest_epoch, restore_checkpoint,
+                                save_checkpoint)
+from ..train.glow_trainer import (create_glow_state, data_init_actnorm,
+                                  glow_lr, make_glow_eval_step,
+                                  make_reverse_kl_step)
+from ..utils.config import BaseParser, int_list
+from ..utils.metrics import r2_score
+from ..viz.plot import plot_prediction_bayes2, save_samples, save_stats
+from ._codec_common import ensure_dataset
+
+
+class Parser(BaseParser):
+    def __init__(self):
+        super().__init__(description="Training multiscale conditional Glows "
+                                     "with reverse KLD loss")
+        self.add_argument("--exp-name", type=str, default="cglow/reverse_kld")
+        self.add_argument("--exp-dir", type=str, default="./experiments")
+        # cglow
+        self.add_argument("--enc-blocks", type=int_list, default=[3, 4, 4])
+        self.add_argument("--flow-blocks", type=int_list, default=[6, 6, 6])
+        self.add_argument("--no-LU-decompose", action="store_true",
+                          default=False)
+        # data
+        self.add_argument("--data-dir", type=str, default="./datasets")
+        self.add_argument("--kle", type=int, default=100)
+        self.add_argument("--ntrain", type=int, default=4096)
+        self.add_argument("--ntest", type=int, default=512)
+        self.add_argument("--x-channels", type=int, default=1)
+        self.add_argument("--y-channels", type=int, default=3)
+        self.add_argument("--imsize", type=int, default=32)
+        # training
+        self.add_argument("--data-init", action="store_true", default=False)
+        self.add_argument("--epochs", type=int, default=400)
+        self.add_argument("--lr", type=float, default=1.5e-3)
+        self.add_argument("--lr-div", type=float, default=2.0)
+        self.add_argument("--lr-pct", type=float, default=0.3)
+        self.add_argument("--beta", type=float, default=150.0)
+        self.add_argument("--weight-decay", type=float, default=0.0)
+        self.add_argument("--weight-bound", type=float, default=50.0)
+        self.add_argument("--batch-size", type=int, default=32)
+        self.add_argument("--test-batch-size", type=int, default=64)
+        self.add_argument("--seed", type=int, default=1)
+        self.add_argument("--n-devices", type=int, default=None)
+        self.add_argument("--resume", action="store_true", default=False)
+        self.add_logging_args(ckpt_freq=25, log_freq=1, plot_freq=25)
+
+    def parse(self, argv=None):
+        args = self.parse_args(argv)
+        args.LU_decompose = not args.no_LU_decompose
+        assert len(args.enc_blocks) == len(args.flow_blocks)
+        hparams = (f"kle{args.kle}_ntrain{args.ntrain}_"
+                   f"ENC_blocks{args.enc_blocks}_FLOW_blocks{args.flow_blocks}_"
+                   f"wb{args.weight_bound}_beta{args.beta}_"
+                   f"batch{args.batch_size}_lr{args.lr}_epochs{args.epochs}")
+        if args.data_init:
+            hparams = hparams + "_data_init"
+        args = self.finalize(args, hparams)
+        # resume: pick up the last recorded checkpoint epoch
+        if args.resume and args.ckpt_epoch is None:
+            args.ckpt_epoch = latest_epoch(args.ckpt_dir)
+        return args
+
+
+def main(argv=None):
+    args = Parser().parse(argv)
+    args.train_dir = os.path.join(args.run_dir, "training")
+    args.pred_dir = os.path.join(args.train_dir, "predictions")
+    os.makedirs(args.pred_dir, exist_ok=True)
+
+    # datasets (generated on demand: inputs for training, solver-labeled val)
+    train_file = dataset_path(args.data_dir, args.imsize,
+                              f"kle{args.kle}_lhs10000_train")
+    test_file = dataset_path(args.data_dir, args.imsize,
+                             f"kle{args.kle}_lhs1000_val")
+    ensure_dataset(train_file, "grf", max(args.ntrain, 1), args.imsize,
+                   args.kle, seed=10_000 + args.kle, with_output=args.data_init)
+    ensure_dataset(test_file, "grf", max(args.ntest, 1), args.imsize,
+                   args.kle, seed=20_000 + args.kle, with_output=True)
+
+    x_train, y_train, _ = load_data(train_file, args.ntrain,
+                                    only_input=not args.data_init)
+    x_test, y_test, stats = load_data(test_file, args.ntest, only_input=False,
+                                      return_stats=True)
+    y_variation = stats["y_variation"]
+    print(f"Test output variation per channel: {y_variation}")
+    n_out_pixels = int(np.prod(y_test.shape[1:]))
+    print(f"# out pixels per output: {n_out_pixels}")
+
+    model = MultiScaleCondGlow(img_size=args.imsize,
+                               x_channels=args.x_channels,
+                               y_channels=args.y_channels,
+                               enc_blocks=args.enc_blocks,
+                               flow_blocks=args.flow_blocks,
+                               LU_decompose=args.LU_decompose,
+                               squeeze_factor=2)
+
+    train_ds = DeviceDataset(x_train, batch_size=args.batch_size,
+                             key=args.seed)
+    test_ds = DeviceDataset(x_test, y_test, batch_size=args.test_batch_size,
+                            key=args.seed + 1, shuffle=False)
+
+    total_steps = args.epochs * len(train_ds)
+    sample_y = jnp.zeros((2, args.imsize, args.imsize, args.y_channels))
+    sample_x = jnp.asarray(x_train[:2])
+    state, tx = create_glow_state(model, jax.random.key(args.seed), sample_y,
+                                  sample_x, lr_max=args.lr,
+                                  total_steps=total_steps,
+                                  div_factor=args.lr_div,
+                                  pct_start=args.lr_pct,
+                                  weight_decay=args.weight_decay)
+    n_params, n_layers = module_size(state.params)
+    print(f"({n_params}, {n_layers})")
+
+    sobel = SobelFilter(args.imsize, correct=True)
+    train_step = make_reverse_kl_step(model, tx, sobel, args.beta,
+                                      args.weight_bound, n_out_pixels)
+    eval_one = make_glow_eval_step(model, sobel, args.beta,
+                                   args.weight_bound, n_out_pixels)
+    eval_mean = make_glow_eval_step(model, sobel, args.beta,
+                                    args.weight_bound, n_out_pixels,
+                                    n_samples=20)
+
+    logger = {"loss_train": [], "loss_test": [], "nrmse_test": [],
+              "r2_test": [], "entropy_train": [], "entropy_test": []}
+    start_epoch = 1
+    if args.ckpt_epoch is not None:
+        state, meta = restore_checkpoint(args.ckpt_dir, args.ckpt_epoch,
+                                         state, with_meta=True)
+        logger = meta.get("logger", logger)
+        start_epoch = args.ckpt_epoch + 1
+        print(f"Loaded checkpoint at epoch {args.ckpt_epoch}")
+
+    initialized = start_epoch > 1
+    if args.data_init and not initialized:
+        xb = jnp.asarray(x_train[:args.batch_size])
+        yb = jnp.asarray(y_train[:args.batch_size])
+        state = data_init_actnorm(model, state, yb, xb)
+        initialized = True
+        print("Finished data initialization of Actnorm")
+
+    def test(epoch, state):
+        loss_sum, rel, sse, ent = 0.0, [], [], 0.0
+        plot_batch = None
+        step_fn = eval_mean if epoch % 10 == 0 else eval_one
+        for i, (x, y) in enumerate(test_ds.batches(epoch)):
+            key = jax.random.fold_in(jax.random.key(args.seed + 7),
+                                     epoch * 1000 + i)
+            out = step_fn(state, x, y, key)
+            loss_sum += float(out["loss"])
+            ent = float(out["neg_entropy"])
+            rel.append(np.asarray(out["rel_l2"]))
+            sse.append(np.asarray(out["sse"]))
+            if i == 0:
+                plot_batch = (np.asarray(x), np.asarray(y))
+        loss_test = loss_sum / len(test_ds)
+        relative_l2 = np.concatenate(rel, 0).mean(0)
+        r2 = np.asarray(r2_score(jnp.asarray(np.concatenate(sse, 0).sum(0)),
+                                 jnp.asarray(y_variation)))
+        print(f"Epoch {epoch}: test r2-score: {r2}")
+        print(f"Epoch {epoch}: test relative l2: {relative_l2}")
+        if (not args.no_plot and plot_batch is not None
+                and (epoch % args.plot_freq == 0 or epoch == args.epochs)):
+            x_np, y_np = plot_batch
+            n_show = 6 if epoch == args.epochs else 2
+            idx = np.random.permutation(len(x_np))[:n_show]
+            for i in idx:
+                xb = jnp.asarray(x_np[[i]])
+                key = jax.random.fold_in(jax.random.key(1234), int(i))
+                samples = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats,
+                     "constants": state.constants},
+                    xb, 20, key, temperature=1.0, train=False,
+                    method=model.sample)
+                pred_mean = np.asarray(samples.mean(axis=0))[0]
+                pred_var = np.asarray(samples.var(axis=0))[0]
+                plot_prediction_bayes2(args.pred_dir, y_np[i], pred_mean,
+                                       pred_var, epoch, int(i))
+                save_samples(args.pred_dir,
+                             np.concatenate([y_np[[i]],
+                                             np.asarray(samples[:15, 0])]),
+                             epoch, int(i), "samples", nrow=4)
+        if epoch % args.log_freq == 0:
+            logger["loss_test"].append(loss_test)
+            logger["r2_test"].append(r2.tolist())
+            logger["nrmse_test"].append(relative_l2.tolist())
+            logger["entropy_test"].append(-ent)
+
+    print("Start training..." + "." * 54)
+    tic = time.time()
+    for epoch in range(start_epoch, args.epochs + 1):
+        loss_train, neg_ent = 0.0, 0.0
+        for (x,) in train_ds.batches(epoch):
+            state, metrics = train_step(state, x)
+            loss_train += float(metrics["loss"])
+            neg_ent = float(metrics["neg_entropy"])
+        loss_train /= len(train_ds)
+        print(f"Epoch {epoch}: training loss: {loss_train:.6f}, "
+              f"neg entropy {neg_ent:.6f}, lr {glow_lr(state):.6f}")
+        if epoch % args.log_freq == 0:
+            logger["loss_train"].append(loss_train)
+            logger["entropy_train"].append(-neg_ent)
+        if epoch % args.ckpt_freq == 0:
+            save_checkpoint(args.ckpt_dir, epoch, state,
+                            meta={"epoch": epoch, "logger": logger})
+            args.ckpt_epoch = epoch
+            save_args(args.run_dir, args)
+        test(epoch, state)
+
+    training_time = time.time() - tic
+    print(f"Finished training {args.epochs} epochs with {args.ntrain} data "
+          f"using {training_time / 60:.2f} mins")
+    save_stats(args.train_dir, logger, "loss_train", "loss_test",
+               "nrmse_test", "r2_test", "entropy_test", "entropy_train")
+    args.training_time = training_time
+    args.n_params, args.n_layers = n_params, n_layers
+    save_args(args.run_dir, args)
+    return state, logger
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Jitted training/eval steps for cGlow reverse-KL training.
+
+The reference's hot loop (train_cglow_reverse_kl.py:250-273): sample
+y ~ p(y|x) through the reverse flow, evaluate the physics residual on the
+sample, add the predictive-entropy term, backprop through the whole flow.
+
+TPU-native aspects:
+* one jit region per step with explicit PRNG key folding (bitwise
+  reproducible — the north-star's "bitwise-stable" requirement);
+* the NaN guard is ``optax.apply_if_finite``: a step whose gradients
+  contain NaN/Inf is skipped (parameters untouched) instead of crashing —
+  the functional replacement for ``autograd.detect_anomaly`` +
+  manual resume (train_cglow_reverse_kl.py:254, README.md:84-85);
+* ActNorm data-init is an explicit transform over a recorded forward pass
+  (train_cglow_reverse_kl.py:239-248).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ..models.flow import actnorm_stats_to_params
+from ..ops.darcy import (conv_boundary_condition, conv_constitutive_constraint,
+                         conv_continuity_constraint)
+from ..ops.filters import SobelFilter
+from ..utils.metrics import relative_l2, squared_error_sum
+from .schedules import one_cycle_schedule
+
+__all__ = ["GlowState", "create_glow_state", "make_reverse_kl_step",
+           "make_glow_eval_step", "data_init_actnorm", "glow_lr"]
+
+LN2 = math.log(2.0)
+
+
+class GlowState(NamedTuple):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    constants: Any          # LU permutation matrices and signs (non-trained)
+    opt_state: Any
+    key: jax.Array          # base PRNG key; per-step keys fold in `step`
+
+
+def create_glow_state(model, key, sample_y, sample_x, lr_max: float,
+                      total_steps: int, div_factor: float = 2.0,
+                      pct_start: float = 0.3, weight_decay: float = 0.0,
+                      nan_guard: bool = True):
+    """Init variables + Adam/OneCycle (train_cglow_reverse_kl.py:140-143)."""
+    init_key, state_key = jax.random.split(key)
+    variables = model.init(init_key, sample_y, sample_x, train=False)
+    schedule = one_cycle_schedule(lr_max, total_steps, div_factor, pct_start)
+    tx = optax.inject_hyperparams(_adam, static_args=("weight_decay",))(
+        learning_rate=schedule, weight_decay=weight_decay)
+    if nan_guard:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    params = variables["params"]
+    state = GlowState(jnp.zeros((), jnp.int32), params,
+                      variables.get("batch_stats", FrozenDict()),
+                      variables.get("constants", FrozenDict()),
+                      tx.init(params), state_key)
+    return state, tx
+
+
+def _adam(learning_rate, weight_decay: float = 0.0):
+    parts = []
+    if weight_decay > 0:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.adam(learning_rate))
+    return optax.chain(*parts)
+
+
+def glow_lr(state: GlowState) -> float:
+    hp = state.opt_state
+    # unwrap apply_if_finite if present
+    if hasattr(hp, "inner_state"):
+        hp = hp.inner_state
+    return float(hp.hyperparams["learning_rate"])
+
+
+def _variables(state: GlowState):
+    return {"params": state.params, "batch_stats": state.batch_stats,
+            "constants": state.constants}
+
+
+def make_reverse_kl_step(model, tx, sobel: SobelFilter, beta: float,
+                         weight_bound: float, n_out_pixels: int):
+    """Label-free reverse-KL step (train_cglow_reverse_kl.py:250-273)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: GlowState, x):
+        key = jax.random.fold_in(state.key, state.step)
+
+        def loss_fn(params):
+            (output, log_likelihood), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats,
+                 "constants": state.constants},
+                x, key=key, train=True, method=model.generate,
+                mutable=["batch_stats"])
+            residual = (conv_constitutive_constraint(x, output, sobel)
+                        + conv_continuity_constraint(output, sobel))
+            diri, neum = conv_boundary_condition(output)
+            loss_pde = residual + (diri + neum) * weight_bound
+            neg_entropy = log_likelihood.mean() / LN2 / n_out_pixels
+            loss = loss_pde * beta + neg_entropy
+            return loss, (mutated["batch_stats"], residual, diri + neum,
+                          neg_entropy)
+
+        (loss, (bstats, residual, boundary, neg_ent)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = GlowState(state.step + 1, params, bstats, state.constants,
+                              opt_state, state.key)
+        metrics = {"loss": loss, "residual": residual, "boundary": boundary,
+                   "neg_entropy": neg_ent}
+        return new_state, metrics
+
+    return step
+
+
+def make_glow_eval_step(model, sobel: SobelFilter, beta: float,
+                        weight_bound: float, n_out_pixels: int,
+                        n_samples: int = 0):
+    """Test step (train_cglow_reverse_kl.py:164-228).
+
+    ``n_samples=0``: evaluate one generated sample (the cheap per-epoch
+    path); ``n_samples>0``: predictive-mean over that many samples (the
+    reference's every-10-epochs path).  The entropy term is computed from
+    the *test* batch's own log-likelihood (fixing the reference bug that
+    reused the training loop's global, train_cglow_reverse_kl.py:185 —
+    SURVEY.md section 2.5).
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(state: GlowState, x, y, key):
+        if n_samples > 0:
+            samples = model.apply(_variables(state), x, n_samples, key,
+                                  temperature=1.0, train=False,
+                                  method=model.sample)
+            output = samples.mean(axis=0)
+            _, log_likelihood = model.apply(
+                _variables(state), x, key=key, train=False,
+                method=model.generate)
+        else:
+            output, log_likelihood = model.apply(
+                _variables(state), x, key=key, train=False,
+                method=model.generate)
+        residual = (conv_constitutive_constraint(x, output, sobel)
+                    + conv_continuity_constraint(output, sobel))
+        diri, neum = conv_boundary_condition(output)
+        loss_pde = residual + (diri + neum) * weight_bound
+        neg_entropy = log_likelihood.mean() / LN2 / n_out_pixels
+        loss = loss_pde * beta + neg_entropy
+        return {"loss": loss, "residual": residual, "boundary": diri + neum,
+                "neg_entropy": neg_entropy, "output": output,
+                "rel_l2": relative_l2(output, y),
+                "sse": squared_error_sum(output, y)}
+
+    return step
+
+
+def data_init_actnorm(model, state: GlowState, y, x,
+                      passes: int = 4) -> GlowState:
+    """One-batch ActNorm data initialization (reference --data-init,
+    train_cglow_reverse_kl.py:239-248): run the density path y -> z
+    recording every ActNorm input, then set weight=1/std, bias=-mean/std.
+
+    The reference initializes ActNorms lazily *during* one forward, so each
+    layer's statistics see the already-initialized earlier layers.  Here the
+    record -> update pass is repeated ``passes`` times: pass k leaves layers
+    1..k-1 at their fixpoint and normalizes layer k's true input, converging
+    to (and beyond) the sequential semantics.
+    """
+    for _ in range(passes):
+        _, mutated = model.apply(
+            _variables(state), y, x, train=False,
+            mutable=["actnorm_stats", "batch_stats"])
+        params = actnorm_stats_to_params(mutated["actnorm_stats"],
+                                         state.params)
+        state = state._replace(params=params)
+    return state
