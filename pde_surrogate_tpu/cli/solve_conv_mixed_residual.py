@@ -1,0 +1,203 @@
+"""Solve ONE Darcy instance with a conv-decoder prior + L-BFGS.
+
+Reference: solve_conv_mixed_residual.py — a Decoder maps a fixed random
+latent (1, 16, 16, nz) to the solution fields; only the weights are
+optimized against the mixed-residual physics loss.  ``--nonlinear`` switches
+to the polynomial constitutive law, with the in-framework finite-volume
+Newton solver as the reference oracle (replacing FEniCS,
+solve_conv_mixed_residual.py:102-112 / utils/fenics.py).
+
+Run:  python -m pde_surrogate_tpu.cli.solve_conv_mixed_residual \
+          --data grf --kle 1024 --idx 8
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.grf import sample_kle, sample_warped_grf, sample_channelized
+from ..data.hdf5 import dataset_path, load_data, save_dataset
+from ..models.codec import Decoder
+from ..ops.darcy import (conv_boundary_condition,
+                         conv_constitutive_constraint,
+                         conv_constitutive_constraint_nonlinear,
+                         conv_continuity_constraint)
+from ..ops.filters import SobelFilter
+from ..solvers.fd_darcy import solve_darcy_batch, solve_nonlinear_darcy
+from ..train.lbfgs import lbfgs_optimizer, make_lbfgs_epoch
+from ..utils.config import BaseParser, int_list, seed_everything
+from ..viz.plot import (plot_prediction_det, plot_prediction_det_animate,
+                        save_stats)
+
+__all__ = ["main", "ensure_test_dataset"]
+
+
+def ensure_test_dataset(args) -> str:
+    """Test-set paths per family (solve_conv_mixed_residual.py:83-92),
+    generated with solver labels when missing."""
+    from ._codec_common import ensure_dataset
+    if args.data == "grf":
+        assert args.kle in (128, 512, 1024, 2048)
+        ntest = 1000 if args.kle == 512 else 1024
+        name = f"kle{args.kle}_lhs{ntest}_test"
+        family, n = "grf", max(args.idx + 1, 32)
+    elif args.data == "warped_grf":
+        name, family, n = "warped_gp_ng64_n1000", "warped_grf", max(args.idx + 1, 32)
+    elif args.data == "channelized":
+        name, family, n = "channel_ng64_n512_test", "channelized", max(args.idx + 1, 32)
+    else:
+        raise ValueError("No dataset found for the specified parameters")
+    path = dataset_path(args.data_dir, args.imsize, name)
+    if not os.path.isfile(path):
+        if family == "warped_grf":
+            k = sample_warped_grf(n, args.imsize, rng=30_000)
+        elif family == "channelized":
+            k = sample_channelized(n, args.imsize, rng=31_000)
+        else:
+            k = sample_kle(n, args.imsize, args.kle, rng=32_000 + args.kle)
+        y = np.asarray(solve_darcy_batch(jnp.asarray(k)))
+        save_dataset(path, k[:, None], y)
+    return path
+
+
+class Parser(BaseParser):
+    def __init__(self):
+        super().__init__(description="CNN to solve PDE")
+        self.add_argument("--exp-dir", type=str, default="./experiments/solver")
+        self.add_argument("--nonlinear", action="store_true", default=False)
+        self.add_argument("--data-dir", type=str, default="./datasets")
+        self.add_argument("--data", type=str, default="grf",
+                          choices=["grf", "channelized", "warped_grf"])
+        self.add_argument("--kle", type=int, default=512)
+        self.add_argument("--imsize", type=int, default=64)
+        self.add_argument("--idx", type=int, default=8)
+        self.add_argument("--alpha1", type=float, default=1.0)
+        self.add_argument("--alpha2", type=float, default=1.0)
+        self.add_argument("--nz", type=int, default=1)
+        self.add_argument("--blocks", type=int_list, default=[8, 6])
+        self.add_argument("--weight-bound", type=float, default=10.0)
+        self.add_argument("--lr", type=float, default=0.5)
+        self.add_argument("--epochs", type=int, default=500)
+        self.add_argument("--test-freq", type=int, default=50)
+        self.add_argument("--ckpt-freq", type=int, default=250)
+        self.add_argument("--cmap", type=str, default="jet")
+        self.add_argument("--same-scale", action="store_true")
+        self.add_argument("--animate", action="store_true")
+        self.add_argument("--seed", type=int, default=1)
+        self.add_argument("-v", "--verbose", action="store_true")
+        self.add_argument("--no-plot", action="store_true", default=False)
+
+
+def main(argv=None):
+    args = Parser().parse_args(argv)
+    seed_everything(args.seed)
+    dataset = (f"{args.data}_kle{args.kle}" if args.data == "grf"
+               else args.data)
+    hyparams = (f"{dataset}_idx{args.idx}_dz{args.nz}_blocks{args.blocks}_"
+                f"lr{args.lr}_wb{args.weight_bound}_epochs{args.epochs}")
+    exp_name = ("conv_mixed_residual_nonlinear" if args.nonlinear
+                else "conv_mixed_residual")
+    if args.nonlinear:
+        hyparams += f"_alpha1_{args.alpha1}_alpha2_{args.alpha2}"
+    run_dir = os.path.join(args.exp_dir, exp_name, hyparams)
+    os.makedirs(run_dir, exist_ok=True)
+
+    assert args.idx < 1024
+    hdf5_file = ensure_test_dataset(args)
+    x_all, y_all, _ = load_data(hdf5_file, args.idx + 1, only_input=False)
+    perm = jnp.asarray(x_all[[args.idx]])             # (1, H, W, 1)
+
+    if args.nonlinear:
+        # reference oracle: nonlinear FV Newton solve (cached like the
+        # reference's output_fenics.npy, solve_conv_mixed_residual.py:104-112)
+        oracle_file = os.path.join(run_dir, "output_fv_newton.npy")
+        if os.path.isfile(oracle_file):
+            target = np.load(oracle_file)
+        else:
+            print("Solving nonlinear Darcy with the FV Newton solver...")
+            target = np.asarray(solve_nonlinear_darcy(
+                jnp.asarray(perm[0, :, :, 0]), args.alpha1, args.alpha2))
+            np.save(oracle_file, target)
+    else:
+        target = np.moveaxis(y_all[args.idx], -1, 0)  # (3, H, W)
+
+    model = Decoder(args.nz, out_channels=3, blocks=args.blocks)
+    rng = np.random.default_rng(args.seed)
+    # latent 16x16 for imsize 64 (solve_conv_mixed_residual.py:120); the
+    # decoder upsamples x4 (one transition-up + head), so imsize//4 generally
+    sz = args.imsize // 4
+    fixed_latent = jnp.asarray(
+        rng.standard_normal((1, sz, sz, args.nz)).astype(np.float32) * 0.5)
+    variables = model.init(jax.random.key(args.seed), fixed_latent,
+                           train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    sobel = SobelFilter(args.imsize, correct=True)
+
+    def loss_fn(params):
+        # train-mode BN like the reference (it never calls eval()); the
+        # mutated running stats are discarded — they are unused.
+        output, _ = model.apply({"params": params,
+                                 "batch_stats": batch_stats},
+                                fixed_latent, train=True,
+                                mutable=["batch_stats"])
+        if args.nonlinear:
+            energy = (conv_constitutive_constraint_nonlinear(
+                perm, output, sobel, args.alpha1, args.alpha2)
+                + conv_continuity_constraint(output, sobel))
+        else:
+            energy = (conv_constitutive_constraint(perm, output, sobel)
+                      + conv_continuity_constraint(output, sobel))
+        diri, neum = conv_boundary_condition(output)
+        return energy + (diri + neum) * args.weight_bound
+
+    opt = lbfgs_optimizer(memory_size=50)
+    opt_state = opt.init(params)
+    epoch_fn = make_lbfgs_epoch(loss_fn, opt, iters_per_epoch=20)
+
+    @jax.jit
+    def predict(params):
+        out, _ = model.apply({"params": params, "batch_stats": batch_stats},
+                             fixed_latent, train=True, mutable=["batch_stats"])
+        return out
+
+    logger = {"loss": []}
+
+    def test(epoch, params):
+        if epoch % args.epochs == 0 or epoch % args.test_freq == 0:
+            output = np.moveaxis(np.asarray(predict(params))[0], -1, 0)
+            if not args.no_plot:
+                if args.animate:
+                    plot_prediction_det_animate(
+                        run_dir, target, output, epoch, args.idx,
+                        epoch // args.test_freq, cmap=args.cmap,
+                        same_scale=args.same_scale)
+                else:
+                    plot_prediction_det(run_dir, target, output, epoch,
+                                        args.idx, cmap=args.cmap,
+                                        same_scale=args.same_scale)
+            np.save(os.path.join(run_dir, f"epoch{epoch}.npy"), output)
+            rel = np.sqrt(((output - target) ** 2).sum((1, 2))
+                          / (target ** 2).sum((1, 2)))
+            print(f"epoch {epoch}: relative l2 {rel}")
+
+    print("start training...")
+    tic = time.time()
+    for epoch in range(1, args.epochs + 1):
+        params, opt_state, loss = epoch_fn(params, opt_state)
+        loss = float(loss)
+        logger["loss"].append(loss)
+        print(f"epoch {epoch}: loss {loss:.6f}")
+        test(epoch, params)
+    print(f"Finished optimization for {args.epochs} epochs using "
+          f"{(time.time() - tic) / 60:.3f} minutes")
+    save_stats(run_dir, logger, "loss")
+    return params, logger, target
+
+
+if __name__ == "__main__":
+    main()

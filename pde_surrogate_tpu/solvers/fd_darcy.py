@@ -146,13 +146,16 @@ def solve_darcy_batch(K_batch: jax.Array, tol: float = 1e-8,
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4))
 def _sigma_from_grad(K: jax.Array, g: jax.Array, alpha1: float,
                      alpha2: float, newton_iters: int = 20) -> jax.Array:
     """Componentwise solve sigma + a1 sqrt(K) sigma^2 + a2 K sigma^3 = -K g.
 
     The cubic is strictly monotone for alpha2 >= alpha1^2/3 (discriminant of
     f' negative), so scalar Newton from the linear guess converges; iterations
-    are vectorized over the whole field.
+    are vectorized over the whole field.  Differentiation is implicit (see
+    the custom JVP below) — the outer Newton-Krylov loop never differentiates
+    through these iterations.
     """
     rhs = -K * g
     s = rhs  # linear-law initialization
@@ -163,6 +166,22 @@ def _sigma_from_grad(K: jax.Array, g: jax.Array, alpha1: float,
         return s - f / fp
 
     return jax.lax.fori_loop(0, newton_iters, body, s)
+
+
+@_sigma_from_grad.defjvp
+def _sigma_from_grad_jvp(alpha1, alpha2, newton_iters, primals, tangents):
+    """Implicit-function-theorem JVP: f(sigma; K, g) = 0 =>
+    dsigma = -(f_K dK + f_g dg) / f_sigma."""
+    K, g = primals
+    dK, dg = tangents
+    s = _sigma_from_grad(K, g, alpha1, alpha2, newton_iters)
+    sqK = jnp.sqrt(K)
+    f_sigma = 1.0 + 2.0 * alpha1 * sqK * s + 3.0 * alpha2 * K * s * s
+    f_g = K
+    f_K = (alpha1 * s * s / (2.0 * jnp.maximum(sqK, 1e-30))
+           + alpha2 * s ** 3 + g)
+    ds = -(f_K * dK + f_g * dg) / f_sigma
+    return s, ds
 
 
 def solve_nonlinear_darcy(K: jax.Array, alpha1: float = 1.0,
@@ -200,12 +219,43 @@ def solve_nonlinear_darcy(K: jax.Array, alpha1: float = 1.0,
     def newton_step(_, v):
         r = residual(v)
         jac = lambda dv: jax.jvp(residual, (v,), (dv,))[1]
-        dv, _ = jax.scipy.sparse.linalg.cg(lambda x: jac(x),  # J is SPD-like
-                                           -r, tol=cg_tol, maxiter=cg_maxiter)
-        return v + dv
+        # Jacobi preconditioner from the linearized face conductivities
+        # K_eff = K / f'(sigma): diag(J) ~= sum of adjacent K_eff / h^2.
+        u = u_d + v * mask
+        gx = (u[:, 1:] - u[:, :-1]) / h
+        gy = (u[1:, :] - u[:-1, :]) / h
+        sx = _sigma_from_grad(Kx, gx, alpha1, alpha2)
+        sy = _sigma_from_grad(Ky, gy, alpha1, alpha2)
+        kx_eff = Kx / (1.0 + 2.0 * alpha1 * jnp.sqrt(Kx) * sx
+                       + 3.0 * alpha2 * Kx * sx * sx)
+        ky_eff = Ky / (1.0 + 2.0 * alpha1 * jnp.sqrt(Ky) * sy
+                       + 3.0 * alpha2 * Ky * sy * sy)
+        diag = (jnp.pad(kx_eff, ((0, 0), (0, 1))) + jnp.pad(kx_eff, ((0, 0), (1, 0)))
+                + jnp.pad(ky_eff, ((0, 1), (0, 0))) + jnp.pad(ky_eff, ((1, 0), (0, 0))))
+        diag = diag / (h * h)
+        inv_diag = mask / jnp.maximum(diag, 1e-30) + (1.0 - mask)
+        dv, _ = jax.scipy.sparse.linalg.cg(jac, -r, tol=cg_tol,
+                                           maxiter=cg_maxiter,
+                                           M=lambda x: x * inv_diag)
+        # backtracking damping: pick the largest step in {1, 1/2, ..., 1/16}
+        # that does not increase the residual norm (keeps Newton globalized
+        # on rough high-contrast fields)
+        r0 = jnp.sum(r * r)
+        best_v, best_norm = v, r0
+        for k in range(5):
+            cand = v + dv * (0.5 ** k)
+            rc = residual(cand)
+            norm = jnp.sum(rc * rc)
+            better = norm < best_norm
+            best_v = jnp.where(better, cand, best_v)
+            best_norm = jnp.minimum(norm, best_norm)
+        return best_v
 
-    v = jax.lax.fori_loop(0, newton_iters, newton_step,
-                          jnp.zeros_like(K))
+    # warm start from the linear-law solution — close to the nonlinear one
+    # and cheap; raw u_d (a step function) makes the first Newton residual
+    # enormous on high-contrast fields
+    v0 = (solve_darcy(K, tol=cg_tol, maxiter=cg_maxiter) - u_d) * mask
+    v = jax.lax.fori_loop(0, newton_iters, newton_step, v0)
     u = u_d + v * mask
     # nodal fluxes from the nonlinear law applied to nodal gradients
     gx_n = _grad_fd(u, axis=-1, h=h)

@@ -81,6 +81,17 @@ def test_nonlinear_reduces_to_linear():
     np.testing.assert_allclose(non[0], lin[0], atol=1e-4)
 
 
+def test_nonlinear_random_k_bounded(rng):
+    """Random high-contrast K: globalized Newton stays in [0, 1] (maximum
+    principle) — regression for divergence from the step-function init."""
+    n = 32
+    K = jnp.asarray(sample_kle(1, n, 128, rng=rng)[0])
+    out = np.asarray(solve_nonlinear_darcy(K, 1.0, 1.0))
+    assert out[0].min() > -1e-2 and out[0].max() < 1 + 1e-2
+    np.testing.assert_allclose(out[0][:, 0], 1.0, atol=1e-4)
+    np.testing.assert_allclose(out[0][:, -1], 0.0, atol=1e-4)
+
+
 def test_nonlinear_constant_k():
     """K = 1, alpha1 = alpha2 = 1: by symmetry u is 1-D in x; the flux law
     changes the profile but BCs and monotonicity must hold, and the
