@@ -45,11 +45,29 @@ def _atomic_write(path: str, data: bytes | str):
     os.replace(tmp, path)
 
 
+def _is_prng_key(leaf) -> bool:
+    return isinstance(leaf, jax.Array) and jax.dtypes.issubdtype(
+        leaf.dtype, jax.dtypes.prng_key)
+
+
+def _unwrap_keys(tree):
+    """Typed PRNG keys -> raw uint32 data (msgpack-serializable)."""
+    return jax.tree_util.tree_map(
+        lambda l: jax.random.key_data(l) if _is_prng_key(l) else l, tree)
+
+
+def _rewrap_keys(restored, template):
+    """Re-wrap leaves that are PRNG keys in the template."""
+    return jax.tree_util.tree_map(
+        lambda r, t: jax.random.wrap_key_data(r) if _is_prng_key(t) else r,
+        restored, template)
+
+
 def save_checkpoint(ckpt_dir: str, epoch: int, state, meta: dict | None = None
                     ) -> str:
     """Serialize array pytree ``state`` (+ JSON-able ``meta``)."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    state = jax.device_get(state)
+    state = jax.device_get(_unwrap_keys(state))
     path = checkpoint_file(ckpt_dir, epoch)
     _atomic_write(path, flax.serialization.to_bytes(state))
     if meta is not None:
@@ -65,7 +83,8 @@ def restore_checkpoint(ckpt_dir: str, epoch: int, template,
     sidecar is absent).
     """
     with open(checkpoint_file(ckpt_dir, epoch), "rb") as f:
-        state = flax.serialization.from_bytes(template, f.read())
+        state = flax.serialization.from_bytes(_unwrap_keys(template), f.read())
+    state = _rewrap_keys(state, template)
     if not with_meta:
         return state
     meta_path = _meta_file(ckpt_dir, epoch)

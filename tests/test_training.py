@@ -143,6 +143,17 @@ def test_hdf5_roundtrip(tmp_path, rng):
         assert f["output"].shape == (6, 3, 16, 16)
 
 
+def test_checkpoint_prng_key_roundtrip(tmp_path):
+    """Typed PRNG keys serialize via key_data and restore as typed keys."""
+    state = {"key": jax.random.key(42), "x": jnp.ones((3,))}
+    save_checkpoint(str(tmp_path), 1, state)
+    restored = restore_checkpoint(str(tmp_path), 1, state)
+    assert jax.dtypes.issubdtype(restored["key"].dtype, jax.dtypes.prng_key)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored["key"])),
+        np.asarray(jax.random.key_data(state["key"])))
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     n = 32
     x = jnp.asarray(sample_kle(2, n, 16, rng=rng)[..., None])
