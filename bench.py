@@ -52,7 +52,7 @@ def main():
     jax.block_until_ready(metrics["loss"])
     print(f"[bench] compile+first step: {time.time() - t0:.1f}s",
           file=sys.stderr)
-    for _ in range(10):
+    for _ in range(20):
         state, metrics = step(state, x)
     jax.block_until_ready(metrics["loss"])
 

@@ -115,24 +115,23 @@ class DenseLayer(nn.Module):
     drop_rate: float = 0.0
     bn_size: int = 8
     bottleneck: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         in_features = x.shape[-1]
         y = x
         norm = functools.partial(nn.BatchNorm, use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)
+                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype)
         if self.bottleneck and in_features > self.bn_size * self.growth_rate:
             y = nn.relu(norm(name="norm1")(y))
-            y = nn.Conv(self.bn_size * self.growth_rate, (1, 1),
-                        use_bias=False, name="conv1")(y)
+            y = conv(self.bn_size * self.growth_rate, (1, 1), name="conv1")(y)
             y = nn.relu(norm(name="norm2")(y))
-            y = nn.Conv(self.growth_rate, (3, 3), padding=1,
-                        use_bias=False, name="conv2")(y)
+            y = conv(self.growth_rate, (3, 3), padding=1, name="conv2")(y)
         else:
             y = nn.relu(norm(name="norm1")(y))
-            y = nn.Conv(self.growth_rate, (3, 3), padding=1,
-                        use_bias=False, name="conv1")(y)
+            y = conv(self.growth_rate, (3, 3), padding=1, name="conv1")(y)
         if self.drop_rate > 0:
             y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
         return jnp.concatenate([x, y], axis=-1)
@@ -145,12 +144,14 @@ class DenseBlock(nn.Module):
     drop_rate: float = 0.0
     bn_size: int = 8
     bottleneck: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for i in range(self.num_layers):
             x = DenseLayer(self.growth_rate, self.drop_rate, self.bn_size,
-                           self.bottleneck, name=f"denselayer{i + 1}")(x, train)
+                           self.bottleneck, self.dtype,
+                           name=f"denselayer{i + 1}")(x, train)
         return x
 
 
@@ -165,39 +166,39 @@ class Transition(nn.Module):
     bottleneck: bool = True
     drop_rate: float = 0.0
     upsample: str | None = "nearest"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         norm = functools.partial(nn.BatchNorm, use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)
+                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype)
         x = nn.relu(norm(name="norm1")(x))
         if self.down:
             if self.bottleneck:
-                x = nn.Conv(self.out_features, (1, 1), use_bias=False,
-                            name="conv1")(x)
+                x = conv(self.out_features, (1, 1), name="conv1")(x)
                 x = nn.relu(norm(name="norm2")(x))
-                x = nn.Conv(self.out_features, (3, 3), strides=2, padding=1,
-                            use_bias=False, name="conv2")(x)
+                x = conv(self.out_features, (3, 3), strides=2, padding=1,
+                         name="conv2")(x)
             else:
-                x = nn.Conv(self.out_features, (3, 3), strides=2, padding=1,
-                            use_bias=False, name="conv1")(x)
+                x = conv(self.out_features, (3, 3), strides=2, padding=1,
+                         name="conv1")(x)
         else:
             if self.bottleneck:
-                x = nn.Conv(self.out_features, (1, 1), use_bias=False,
-                            name="conv1")(x)
+                x = conv(self.out_features, (1, 1), name="conv1")(x)
                 x = nn.relu(norm(name="norm2")(x))
                 if self.upsample is None:
                     x = nn.ConvTranspose(self.out_features, (3, 3), strides=(2, 2),
-                                         padding=((1, 2), (1, 2)),
-                                         use_bias=False, name="convT2")(x)
+                                         padding=((1, 2), (1, 2)), use_bias=False,
+                                         dtype=self.dtype, name="convT2")(x)
                 else:
                     x = _upsample(x, self.upsample)
-                    x = nn.Conv(self.out_features, (3, 3), padding=1,
-                                use_bias=False, name="conv2")(x)
+                    x = conv(self.out_features, (3, 3), padding=1,
+                             name="conv2")(x)
             else:
                 x = nn.ConvTranspose(self.out_features, (3, 3), strides=(2, 2),
-                                     padding=((1, 2), (1, 2)),
-                                     use_bias=False, name="convT1")(x)
+                                     padding=((1, 2), (1, 2)), use_bias=False,
+                                     dtype=self.dtype, name="convT1")(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
         return x
@@ -209,24 +210,25 @@ class LastDecoding(nn.Module):
     bias: bool = False
     drop_rate: float = 0.0
     upsample: str = "nearest"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         norm = functools.partial(nn.BatchNorm, use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)
+                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         in_features = x.shape[-1]
         x = nn.relu(norm(name="norm1")(x))
         x = nn.Conv(in_features // 2, (3, 3), padding=1, use_bias=False,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
         x = nn.relu(norm(name="norm2")(x))
         x = _upsample(x, self.upsample)
         x = nn.Conv(in_features // 4, (3, 3), padding=1, use_bias=self.bias,
-                    name="conv2")(x)
+                    dtype=self.dtype, name="conv2")(x)
         x = nn.relu(norm(name="norm3")(x))
         x = nn.Conv(self.out_channels, (5, 5), padding=2, use_bias=self.bias,
-                    name="conv3")(x)
+                    dtype=self.dtype, name="conv3")(x)
         return x
 
 
@@ -250,9 +252,12 @@ class DenseED(nn.Module):
     bottleneck: bool = False
     out_activation: str | None = None
     upsample: str = "nearest"
+    dtype: Any = None  # compute dtype (jnp.bfloat16 for MXU speed); params f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         blocks = list(self.blocks)
         if len(blocks) > 1 and len(blocks) % 2 == 0:
             raise ValueError(
@@ -262,33 +267,35 @@ class DenseED(nn.Module):
 
         pad = 3 if self.imsize % 2 == 0 else 2
         x = nn.Conv(self.init_features, (7, 7), strides=2, padding=pad,
-                    use_bias=False, name="in_conv")(x)
+                    use_bias=False, dtype=self.dtype, name="in_conv")(x)
         num_features = self.init_features
         for i, num_layers in enumerate(enc_blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
-                           self.bn_size, self.bottleneck,
+                           self.bn_size, self.bottleneck, self.dtype,
                            name=f"encblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             x = Transition(num_features // 2, down=True,
-                           drop_rate=self.drop_rate,
+                           drop_rate=self.drop_rate, dtype=self.dtype,
                            name=f"transdown{i + 1}")(x, train)
             num_features //= 2
         for i, num_layers in enumerate(dec_blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
-                           self.bn_size, self.bottleneck,
+                           self.bn_size, self.bottleneck, self.dtype,
                            name=f"decblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             if i < len(dec_blocks) - 1:
                 x = Transition(num_features // 2, down=False,
                                drop_rate=self.drop_rate,
-                               upsample=self.upsample,
+                               upsample=self.upsample, dtype=self.dtype,
                                name=f"transup{i + 1}")(x, train)
                 num_features //= 2
         x = LastDecoding(self.out_channels, drop_rate=self.drop_rate,
-                         upsample=self.upsample, name="lasttransup")(x, train)
+                         upsample=self.upsample, dtype=self.dtype,
+                         name="lasttransup")(x, train)
         if self.out_activation is not None:
             x = activation(self.out_activation)(x)
-        return x
+        # predictions and physics losses are always f32
+        return x.astype(jnp.float32)
 
 
 class Decoder(nn.Module):
@@ -305,24 +312,29 @@ class Decoder(nn.Module):
     drop_rate: float = 0.0
     upsample: str = "nearest"
     out_activation: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(self.init_features, (3, 3), padding=1, use_bias=False,
-                    name="conv0")(x)
+                    dtype=self.dtype, name="conv0")(x)
         num_features = self.init_features
         for i, num_layers in enumerate(self.blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
+                           dtype=self.dtype,
                            name=f"decblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             if i < len(self.blocks) - 1:
                 x = Transition(num_features // 2, down=False,
                                drop_rate=self.drop_rate,
-                               upsample=self.upsample,
+                               upsample=self.upsample, dtype=self.dtype,
                                name=f"transup{i + 1}")(x, train)
                 num_features //= 2
         x = LastDecoding(self.out_channels, drop_rate=self.drop_rate,
-                         upsample=self.upsample, name="lasttransup")(x, train)
+                         upsample=self.upsample, dtype=self.dtype,
+                         name="lasttransup")(x, train)
         if self.out_activation is not None:
             x = activation(self.out_activation)(x)
-        return x
+        return x.astype(jnp.float32)
