@@ -141,6 +141,17 @@ def solve_darcy_batch(K_batch: jax.Array, tol: float = 1e-8,
     return jax.vmap(one)(K_batch)
 
 
+def solve_darcy_batch_fast(K_batch: jax.Array, n_iter: int = 1536) -> jax.Array:
+    """TPU fast path: the in-VMEM Pallas PCG kernel (2.5x the XLA path on
+    v5e; see ops/kernels/cg_darcy.py), with the XLA solver as fallback on
+    non-TPU backends."""
+    if jax.default_backend() != "tpu":
+        return solve_darcy_batch(K_batch)
+    from ..ops.kernels.cg_darcy import solve_darcy_pallas
+    u = solve_darcy_pallas(K_batch, n_iter=n_iter)
+    return jax.vmap(darcy_fields)(K_batch, u)
+
+
 # ---------------------------------------------------------------------------
 # Nonlinear law
 # ---------------------------------------------------------------------------

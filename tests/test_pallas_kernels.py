@@ -1,0 +1,43 @@
+"""Pallas kernel tests (interpreter mode on CPU; compiled path covered by
+the TPU benchmarks)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_surrogate_tpu.data.grf import sample_kle
+from pde_surrogate_tpu.ops.kernels.cg_darcy import solve_darcy_pallas
+from pde_surrogate_tpu.solvers.fd_darcy import solve_darcy
+
+
+@pytest.mark.parametrize("fields_per_program", [1, 2])
+def test_pallas_cg_matches_xla(rng, fields_per_program):
+    n = 16
+    K = jnp.asarray(sample_kle(2, n, 32, rng=rng))
+    u_pal = np.asarray(solve_darcy_pallas(K, n_iter=400,
+                                          fields_per_program=fields_per_program,
+                                          interpret=True))
+    for b in range(2):
+        u_ref = np.asarray(solve_darcy(K[b]))
+        np.testing.assert_allclose(u_pal[b], u_ref, atol=5e-5)
+
+
+def test_pallas_cg_constant_k():
+    n = 16
+    K = jnp.ones((3, n, n))
+    u = np.asarray(solve_darcy_pallas(K, n_iter=200, fields_per_program=3,
+                                      interpret=True))
+    x = np.linspace(0, 1, n)
+    for b in range(3):
+        np.testing.assert_allclose(u[b], np.tile(1 - x, (n, 1)), atol=1e-5)
+
+
+def test_pallas_cg_pad_remainder(rng):
+    """Batch not divisible by fields_per_program pads then truncates."""
+    n = 16
+    K = jnp.asarray(sample_kle(3, n, 32, rng=rng))
+    u = np.asarray(solve_darcy_pallas(K, n_iter=300, fields_per_program=2,
+                                      interpret=True))
+    assert u.shape == (3, n, n)
+    u_ref = np.asarray(solve_darcy(K[2]))
+    np.testing.assert_allclose(u[2], u_ref, atol=5e-5)
