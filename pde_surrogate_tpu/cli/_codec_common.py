@@ -26,7 +26,7 @@ from ..data.pipeline import DeviceDataset
 from ..models.codec import DenseED, module_size
 from ..ops.filters import SobelFilter
 from ..parallel.mesh import batch_sharding, data_mesh, replicate
-from ..solvers.fd_darcy import solve_darcy_batch
+from ..solvers.fd_darcy import solve_darcy_batch_fast
 from ..train.checkpoint import restore_checkpoint, save_checkpoint
 from ..train.codec_trainer import (create_state, current_lr, make_eval_step,
                                    make_mixed_residual_step, make_mle_step)
@@ -66,7 +66,7 @@ def ensure_dataset(path: str, data: str, n: int, imsize: int, kle: int,
         outs = []
         for i in range(0, n, solve_batch):
             batch = jnp.asarray(k[i:i + solve_batch])
-            outs.append(np.asarray(solve_darcy_batch(batch)))
+            outs.append(np.asarray(solve_darcy_batch_fast(batch)))
         y = np.concatenate(outs, 0)  # (N, 3, H, W)
     save_dataset(path, k[:, None, :, :], y)
     print(f"[data] wrote {path}")

@@ -29,14 +29,14 @@ import numpy as np
 
 from ..data.grf import sample_channelized, sample_kle, sample_warped_grf
 from ..data.hdf5 import dataset_path, save_dataset
-from ..solvers.fd_darcy import solve_darcy_batch
+from ..solvers.fd_darcy import solve_darcy_batch_fast
 
 
 def _solve_labels(k: np.ndarray, solve_batch: int) -> np.ndarray:
     outs = []
     tic = time.time()
     for i in range(0, len(k), solve_batch):
-        outs.append(np.asarray(solve_darcy_batch(jnp.asarray(k[i:i + solve_batch]))))
+        outs.append(np.asarray(solve_darcy_batch_fast(jnp.asarray(k[i:i + solve_batch]))))
         done = min(i + solve_batch, len(k))
         rate = done / max(time.time() - tic, 1e-9)
         print(f"  solved {done}/{len(k)} ({rate:.1f} fields/sec)")

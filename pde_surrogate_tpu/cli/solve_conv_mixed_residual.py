@@ -28,7 +28,7 @@ from ..ops.darcy import (conv_boundary_condition,
                          conv_constitutive_constraint_nonlinear,
                          conv_continuity_constraint)
 from ..ops.filters import SobelFilter
-from ..solvers.fd_darcy import solve_darcy_batch, solve_nonlinear_darcy
+from ..solvers.fd_darcy import solve_darcy_batch_fast, solve_nonlinear_darcy
 from ..train.lbfgs import lbfgs_optimizer, make_lbfgs_epoch
 from ..utils.config import BaseParser, int_list, seed_everything
 from ..viz.plot import (plot_prediction_det, plot_prediction_det_animate,
@@ -60,7 +60,7 @@ def ensure_test_dataset(args) -> str:
             k = sample_channelized(n, args.imsize, rng=31_000)
         else:
             k = sample_kle(n, args.imsize, args.kle, rng=32_000 + args.kle)
-        y = np.asarray(solve_darcy_batch(jnp.asarray(k)))
+        y = np.asarray(solve_darcy_batch_fast(jnp.asarray(k)))
         save_dataset(path, k[:, None], y)
     return path
 
