@@ -1,0 +1,103 @@
+"""Reverse-KL glow training step + data-init + eval + UQ facade tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_surrogate_tpu.data.grf import sample_kle
+from pde_surrogate_tpu.models.glow import MultiScaleCondGlow
+from pde_surrogate_tpu.ops.filters import SobelFilter
+from pde_surrogate_tpu.train.glow_trainer import (create_glow_state,
+                                                  data_init_actnorm, glow_lr,
+                                                  make_glow_eval_step,
+                                                  make_reverse_kl_step)
+from pde_surrogate_tpu.uq.uq import GlowSurrogate, UQCondGlow
+
+
+def _setup(n=16, bs=8):
+    x = jnp.asarray(sample_kle(bs, n, 16, rng=0)[..., None])
+    y = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (bs, n, n, 3)).astype(np.float32) * 0.1)
+    model = MultiScaleCondGlow(img_size=n, x_channels=1, y_channels=3,
+                               enc_blocks=[2, 2], flow_blocks=[2, 2])
+    state, tx = create_glow_state(model, jax.random.key(0), y, x,
+                                  lr_max=1e-3, total_steps=20)
+    return model, state, tx, x, y, n
+
+
+def test_reverse_kl_step_runs_and_descends():
+    model, state, tx, x, y, n = _setup()
+    step = make_reverse_kl_step(model, tx, SobelFilter(n), beta=150.0,
+                                weight_bound=50.0, n_out_pixels=3 * n * n)
+    state, m0 = step(state, x)
+    losses = [float(m0["loss"])]
+    for _ in range(10):
+        state, m = step(state, x)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[1:]) < losses[0]
+    assert int(state.step) == 11
+    assert np.isfinite(glow_lr(state))
+
+
+def test_reverse_kl_deterministic():
+    """Same key + same steps = bitwise identical params (north-star:
+    bitwise-stable reverse-KL training)."""
+    outs = []
+    for _ in range(2):
+        model, state, tx, x, y, n = _setup()
+        step = make_reverse_kl_step(model, tx, SobelFilter(n), 150.0, 50.0,
+                                    3 * n * n)
+        for _ in range(3):
+            state, m = step(state, x)
+        outs.append(jax.device_get(state.params))
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0]),
+                    jax.tree_util.tree_leaves(outs[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_glow_eval_step_metrics():
+    model, state, tx, x, y, n = _setup()
+    ev = make_glow_eval_step(model, SobelFilter(n), 150.0, 50.0, 3 * n * n)
+    out = ev(state, x, y, jax.random.key(5))
+    assert out["rel_l2"].shape == (x.shape[0], 3)
+    assert np.isfinite(float(out["loss"]))
+    # predictive-mean variant
+    ev20 = make_glow_eval_step(model, SobelFilter(n), 150.0, 50.0,
+                               3 * n * n, n_samples=4)
+    out2 = ev20(state, x, y, jax.random.key(5))
+    assert out2["output"].shape == y.shape
+
+
+def test_data_init_actnorm_changes_params():
+    model, state, tx, x, y, n = _setup()
+    state2 = data_init_actnorm(model, state, y, x, passes=2)
+    before = jax.tree_util.tree_leaves(state.params)
+    after = jax.tree_util.tree_leaves(state2.params)
+    assert any(not np.allclose(a, b) for a, b in zip(before, after))
+    # and the model still generates finite samples
+    out, logp = model.apply(
+        {"params": state2.params, "batch_stats": state2.batch_stats,
+         "constants": state2.constants},
+        x, key=jax.random.key(1), train=False, method=model.generate)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_glow_surrogate_and_uq(tmp_path):
+    model, state, tx, x, y, n = _setup()
+    s = GlowSurrogate(model, state, n_samples=3, temperature=1.0)
+    mean, var = s.predict(x, jax.random.key(0))
+    assert mean.shape == y.shape and var.shape == y.shape
+    assert bool(jnp.all(var >= 0))
+
+    x_np, y_np = np.asarray(x), np.asarray(y)
+    uq = UQCondGlow(s, (x_np, y_np), (x_np, y_np),
+                    ((y_np - y_np.mean(0)) ** 2).sum((0, 1, 2)),
+                    post_dir=str(tmp_path), imsize=n, batch_size=4)
+    rel, r2 = uq.test_metric(handle_nan=True)
+    assert rel.shape == (3,) and np.isfinite(rel).all()
+    freq = uq.plot_reliability_diagram(save_time=True)
+    assert freq.shape == (10, 3)
+    assert (freq >= 0).all() and (freq <= 1).all()
+    ee, ve, ev, vv = uq.propagate_uncertainty(var_samples=2)
+    assert ee.shape == y.shape[1:]
