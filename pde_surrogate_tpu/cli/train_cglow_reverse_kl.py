@@ -215,12 +215,13 @@ def main(argv=None):
     print("Start training..." + "." * 54)
     tic = time.time()
     for epoch in range(start_epoch, args.epochs + 1):
-        loss_train, neg_ent = 0.0, 0.0
+        # device-side loss accumulation: one host sync per epoch
+        losses = []
         for (x,) in train_ds.batches(epoch):
             state, metrics = train_step(state, x)
-            loss_train += float(metrics["loss"])
-            neg_ent = float(metrics["neg_entropy"])
-        loss_train /= len(train_ds)
+            losses.append((metrics["loss"], metrics["neg_entropy"]))
+        loss_train = float(jnp.mean(jnp.stack([l for l, _ in losses])))
+        neg_ent = float(losses[-1][1])
         print(f"Epoch {epoch}: training loss: {loss_train:.6f}, "
               f"neg entropy {neg_ent:.6f}, lr {glow_lr(state):.6f}")
         if epoch % args.log_freq == 0:

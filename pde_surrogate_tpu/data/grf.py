@@ -64,6 +64,8 @@ def kle_basis(n: int, n_terms: int, length_scale: float = 0.25) -> KLEBasis:
     # that sum_i lambda_i phi_i(s)^2 -> pointwise variance ~= 1
     v1 = v1 * np.sqrt(n)
     w2 = np.outer(w1, w1).ravel()
+    # a coarse grid caps the available modes at m^2 (<= n^2)
+    n_terms = min(n_terms, len(w2))
     top = np.argsort(w2)[::-1][:n_terms]
     eigvals = w2[top]
     ii, jj = np.unravel_index(top, (m, m))
@@ -100,12 +102,13 @@ def sample_kle(n_samples: int, n: int, n_terms: int,
     if not isinstance(rng, np.random.Generator):
         rng = np.random.default_rng(rng)
     basis = kle_basis(n, n_terms, length_scale)
+    k = len(basis.eigvals)  # may be capped by the grid size
     if use_lhs:
-        u = lhs(n_terms, n_samples, rng=rng)
+        u = lhs(k, n_samples, rng=rng)
         u = np.clip(u, 1e-12, 1 - 1e-12)
         xi = norm_ppf(u)
     else:
-        xi = rng.standard_normal((n_samples, n_terms))
+        xi = rng.standard_normal((n_samples, k))
     return np.exp(sample_kle_logk(basis, xi)).astype(np.float32)
 
 
