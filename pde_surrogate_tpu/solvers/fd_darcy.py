@@ -120,14 +120,32 @@ def _grad_fd(u: jax.Array, axis: int, h: float) -> jax.Array:
 
 
 def darcy_fields(K: jax.Array, u: jax.Array) -> jax.Array:
-    """Stack (u, sigma1, sigma2) = (pressure, -K du/dx, -K du/dy), (3, n, n).
+    """Stack (u, sigma1, sigma2) = (pressure, horizontal flux, vertical
+    flux), (3, n, n) — dataset channel layout (solve_conv_mixed_residual.py:98).
 
-    Matches the dataset channel layout (solve_conv_mixed_residual.py:98).
+    Fluxes are **conservative face fluxes averaged to nodes**, the FV analog
+    of the reference datasets' mixed-FEM (Raviart-Thomas) fluxes
+    (utils/fenics.py:43-49): face fluxes telescope exactly (discretely
+    divergence-free), so the nodal average has near-zero image-gradient
+    divergence — unlike the naive ``-K_node * grad_fd(u)``, whose pointwise
+    products of rough K with rough gradients violate continuity at O(1)
+    (that inconsistency put the physics-loss floor at ~16 on GRF fields).
     """
     n = K.shape[-1]
     h = 1.0 / (n - 1)
-    sigma1 = -K * _grad_fd(u, axis=-1, h=h)
-    sigma2 = -K * _grad_fd(u, axis=-2, h=h)
+    harm = lambda a, b: 2.0 * a * b / (a + b)
+    # horizontal face fluxes on vertical faces, (n, n-1)
+    fx = -harm(K[..., :, :-1], K[..., :, 1:]) * (u[..., :, 1:] - u[..., :, :-1]) / h
+    # vertical face fluxes on horizontal faces, (n-1, n)
+    fy = -harm(K[..., :-1, :], K[..., 1:, :]) * (u[..., 1:, :] - u[..., :-1, :]) / h
+    # node values: mean of adjacent faces; one-sided at the domain edge
+    sigma1 = (jnp.pad(fx, ((0, 0), (0, 1)), mode="edge")
+              + jnp.pad(fx, ((0, 0), (1, 0)), mode="edge")) / 2.0
+    sigma2 = (jnp.pad(fy, ((0, 1), (0, 0)), mode="edge")
+              + jnp.pad(fy, ((1, 0), (0, 0)), mode="edge")) / 2.0
+    # zero vertical flux through the top/bottom walls (Neumann BC exactly,
+    # matching the mixed-FEM labels' boundary values)
+    sigma2 = sigma2.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
     return jnp.stack([u, sigma1, sigma2], axis=0)
 
 
