@@ -125,6 +125,38 @@ def make_reverse_kl_step(model, tx, sobel: SobelFilter, beta: float,
     return step
 
 
+def make_forward_kl_step(model, tx, n_out_pixels: int):
+    """Maximum-likelihood (forward-KL) step: maximize log p(y|x) of labeled
+    pairs through the density path y -> z.
+
+    The reference ships this capability in the model but no driver
+    (models/glow_msc.py:113-114, train path y->x only); provided here as a
+    first-class step for data-driven flow training.  Loss is negative
+    log-likelihood in bits/pixel.  Build the model with
+    ``train_sampling=False`` so the density path avoids matrix inverses.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: GlowState, x, y):
+        def loss_fn(params):
+            (_, logp, _), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats,
+                 "constants": state.constants},
+                y, x, train=True, mutable=["batch_stats"])
+            bits_per_pixel = -logp.mean() / LN2 / n_out_pixels
+            return bits_per_pixel, mutated["batch_stats"]
+
+        (loss, bstats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = GlowState(state.step + 1, params, bstats, state.constants,
+                              opt_state, state.key)
+        return new_state, {"loss": loss, "bits_per_pixel": loss}
+
+    return step
+
+
 def make_glow_eval_step(model, sobel: SobelFilter, beta: float,
                         weight_bound: float, n_out_pixels: int,
                         n_samples: int = 0):

@@ -56,6 +56,25 @@ def test_reverse_kl_deterministic():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_forward_kl_step_descends():
+    """MLE training through the density path reduces bits/pixel."""
+    from pde_surrogate_tpu.train.glow_trainer import make_forward_kl_step
+    n, bs = 16, 8
+    x = jnp.asarray(sample_kle(bs, n, 16, rng=2)[..., None])
+    y = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (bs, n, n, 3)).astype(np.float32) * 0.1)
+    model = MultiScaleCondGlow(img_size=n, x_channels=1, y_channels=3,
+                               enc_blocks=[2, 2], flow_blocks=[2, 2],
+                               train_sampling=False)
+    state, tx = create_glow_state(model, jax.random.key(0), y, x,
+                                  lr_max=1e-3, total_steps=20)
+    step = make_forward_kl_step(model, tx, 3 * n * n)
+    state, m0 = step(state, x, y)
+    for _ in range(8):
+        state, m = step(state, x, y)
+    assert float(m["bits_per_pixel"]) < float(m0["bits_per_pixel"])
+
+
 def test_glow_eval_step_metrics():
     model, state, tx, x, y, n = _setup()
     ev = make_glow_eval_step(model, SobelFilter(n), 150.0, 50.0, 3 * n * n)
