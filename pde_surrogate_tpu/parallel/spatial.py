@@ -1,0 +1,137 @@
+"""Spatial (domain-decomposition) parallelism for field computations.
+
+The reference has no parallelism at all; for its 64x64 problems data
+parallelism is the only strategy that pays (SURVEY.md section 5).  This
+module is the scaling path for *resolution*: fields sharded along H over a
+``('space',)`` mesh axis, with
+
+  * stencil/finite-volume operators evaluated per-shard under `shard_map`,
+  * one-row halo exchanges via `jax.lax.ppermute` (neighbor-only ICI
+    traffic — no all-gathers),
+  * CG dot products reduced with `jax.lax.psum`.
+
+`solve_darcy_spatial` is a fully sharded conjugate-gradient Darcy solve:
+every iteration touches only local rows plus two halo rows, so the
+communication volume per iteration is O(W) regardless of H.  Validated
+against the single-device solver on the fake 8-device CPU mesh
+(tests/test_spatial_parallel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["solve_darcy_spatial", "spatial_mesh"]
+
+
+def spatial_mesh(n_devices: int | None = None, axis: str = "space") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, (axis,))
+
+
+def _halo_rows(v_local: jax.Array, axis: str):
+    """Exchange boundary rows with mesh neighbors.
+
+    Returns (row_above, row_below) for this shard: the last local row of the
+    neighbor above and the first local row of the neighbor below.  Edge
+    shards receive their own edge row (replicate padding — matching the
+    zero boundary-face conductivities, the received value is multiplied by
+    zero so the fill value is arbitrary).
+    """
+    n_dev = jax.lax.axis_size(axis)
+    down = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    up = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    # send my last row downward -> becomes neighbor's "row above"
+    row_above = jax.lax.ppermute(v_local[-1:], axis, perm=down)
+    # send my first row upward -> becomes neighbor's "row below"
+    row_below = jax.lax.ppermute(v_local[:1], axis, perm=up)
+    return row_above, row_below
+
+
+def solve_darcy_spatial(K: jax.Array, mesh: Mesh, axis: str = "space",
+                        n_iter: int = 2000) -> jax.Array:
+    """Darcy pressure solve with the H dimension sharded over ``mesh``.
+
+    K: (n, n) nodal permeability (replicated or sharded input; output is
+    sharded P(axis, None)).  Fixed-iteration Jacobi-preconditioned CG; the
+    matvec does one up/down halo exchange, the dot products one psum.
+    """
+    n = K.shape[-1]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(f"H={n} not divisible by mesh axis {n_dev}")
+
+    sharded = NamedSharding(mesh, P(axis, None))
+    K = jax.device_put(K, sharded)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(axis, None),
+        out_specs=P(axis, None))
+    def solve(K_local):
+        my = jax.lax.axis_index(axis)
+        harm = lambda a, b: 2.0 * a * b / (a + b)
+        # neighbor K rows for cross-shard faces
+        k_above, k_below = _halo_rows(K_local, axis)
+        k_up = jnp.concatenate([k_above, K_local[:-1]], axis=0)
+        k_dn = jnp.concatenate([K_local[1:], k_below], axis=0)
+        kN = harm(K_local, k_up)
+        kS = harm(K_local, k_dn)
+        kE = jnp.zeros_like(K_local).at[:, :-1].set(
+            harm(K_local[:, :-1], K_local[:, 1:]))
+        kW = jnp.zeros_like(K_local).at[:, 1:].set(
+            harm(K_local[:, 1:], K_local[:, :-1]))
+        # global-domain walls: zero flux through top/bottom
+        rows_local = K_local.shape[0]
+        grow = my * rows_local + jnp.arange(rows_local)[:, None]
+        kN = jnp.where(grow == 0, 0.0, kN)
+        kS = jnp.where(grow == n - 1, 0.0, kS)
+        col = jnp.arange(n)[None, :]
+        mask = jnp.where((col == 0) | (col == n - 1), 0.0,
+                         1.0).astype(K_local.dtype) * jnp.ones_like(K_local)
+
+        diag = kE + kW + kN + kS
+        inv_diag = mask / jnp.maximum(diag, 1e-30)
+
+        def matvec(v):
+            above, below = _halo_rows(v, axis)
+            v_up = jnp.concatenate([above, v[:-1]], axis=0)
+            v_dn = jnp.concatenate([v[1:], below], axis=0)
+            vE = jnp.zeros_like(v).at[:, :-1].set(v[:, 1:])
+            vW = jnp.zeros_like(v).at[:, 1:].set(v[:, :-1])
+            lap = (kE * (vE - v) + kW * (vW - v) + kN * (v_up - v)
+                   + kS * (v_dn - v))
+            return -lap * mask
+
+        def dot(a, b):
+            return jax.lax.psum(jnp.sum(a * b), axis)
+
+        b = jnp.zeros_like(K_local).at[:, 1].set(kW[:, 1])
+        v = jnp.zeros_like(K_local)
+        r = b
+        z = r * inv_diag
+        p = z
+        rz = dot(r, z)
+
+        def body(_, carry):
+            v, r, p, rz = carry
+            ap = matvec(p)
+            alpha = rz / (dot(p, ap) + 1e-30)
+            v = v + alpha * p
+            r = r - alpha * ap
+            z = r * inv_diag
+            rz_new = dot(r, z)
+            beta = rz_new / (rz + 1e-30)
+            p = z + beta * p
+            return v, r, p, rz_new
+
+        v, _, _, _ = jax.lax.fori_loop(0, n_iter, body, (v, r, p, rz))
+        u_d = jnp.zeros_like(K_local).at[:, 0].set(1.0)
+        return u_d + v * mask
+
+    return solve(K)
