@@ -282,3 +282,18 @@ def neumann_boundary_mixed(model_fn: Callable, params, x: jax.Array) -> jax.Arra
     """mean(tau_ver^2) on top/bottom points (models/darcy.py:88-94)."""
     y = model_fn(params, x)
     return jnp.mean(y[:, 1] ** 2)
+
+
+def neumann_boundary(model_fn: Callable, params, x: jax.Array) -> jax.Array:
+    """Primal-form Neumann penalty mean((du/dy)^2) on top/bottom points.
+
+    The reference version differentiates the wrong coordinate — flagged by
+    the author ("bug: u_y! NOT u_x", models/darcy.py:80-85; its drivers only
+    use the mixed variant).  This implementation differentiates the vertical
+    coordinate (index 0 of the (y, x) point) as intended.
+    """
+    def u_single(pt):
+        return model_fn(params, pt[None, :])[0, 0]
+
+    grad_u = jax.vmap(jax.grad(u_single))(x)
+    return jnp.mean(grad_u[:, 0] ** 2)

@@ -126,6 +126,19 @@ def plot_prediction_bayes2(save_dir, target, pred_mean, pred_var, epoch,
                plot_fn, cmap, same_scale)
 
 
+def plot_prediction_bayes(save_dir, target, pred_mean, pred_var, epoch,
+                          index, plot_fn="imshow"):
+    """ImageGrid-style Bayes panels (utils/plot.py:276-374): per channel a
+    (target, mean) pair sharing one scale plus (error, 2 std) free-scale —
+    rendered here as one 4-row grid with shared top rows."""
+    target, pm = _chw(target), _chw(pred_mean)
+    pv = _chw(pred_var)
+    samples = np.stack([target, pm, target - pm, 2 * np.sqrt(pv)], 0)
+    panel_grid(samples, ["Simulation", "Pred Mean", "Error", "2 Std"], COLS,
+               os.path.join(save_dir, f"pred_at_x_epoch{epoch}_{index}.{EXT}"),
+               plot_fn)
+
+
 def plot_MC2(save_dir, monte_carlo, pred_mean, pred_var, mean, ntrain,
              plot_fn="imshow", cmap="jet", manual_scale=False,
              same_scale=False):
