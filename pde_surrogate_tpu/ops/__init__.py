@@ -14,6 +14,7 @@ from .darcy import (
     primal_residual_fc,
     primal_variational_fc,
     neumann_boundary_mixed,
+    neumann_boundary,
 )
 from .lhs import lhs
 from .sampling import SampleSpatial2d
