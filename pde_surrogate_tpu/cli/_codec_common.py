@@ -197,20 +197,34 @@ def run_codec_training(args, loss_kind: str):
             logger["r2_test"].append(r2.tolist())
             logger["nrmse_test"].append(relative_l2.tolist())
 
+    from ..utils.observability import JsonlLogger, StepTimer, profile_trace
+    timer = StepTimer(args.batch_size)
+    jsonl = JsonlLogger(os.path.join(args.train_dir, "metrics.jsonl"))
+    profile_epoch = getattr(args, "profile_epoch", 0)
+
     print("Start training..." + "." * 47)
     tic = time.time()
     for epoch in range(start_epoch, args.epochs + 1):
         # keep per-step losses on device; one host sync per epoch (a per-step
         # float() would cost a device round-trip every 1.6 ms step)
         losses = []
-        for batch in train_ds.batches(epoch):
-            state, metrics = train_step(state, *batch)
-            losses.append(metrics["loss"])
+        timer.start()
+        with profile_trace(os.path.join(args.train_dir, "profile"),
+                           enabled=(epoch == profile_epoch)):
+            for batch in train_ds.batches(epoch):
+                state, metrics = train_step(state, *batch)
+                losses.append(metrics["loss"])
+                timer.step()
         loss_train = float(jnp.mean(jnp.stack(losses)))
-        print(f"Epoch {epoch}, lr {current_lr(state):.6f}")
+        rate = timer.result(fence=losses[-1])
+        print(f"Epoch {epoch}, lr {current_lr(state):.6f}, "
+              f"{rate['samples_per_sec']:.0f} samples/sec")
         print(f"Epoch {epoch}: training loss: {loss_train:.6f}")
         if epoch % args.log_freq == 0:
             logger["loss_train"].append(loss_train)
+            jsonl.log({"epoch": epoch, "loss_train": loss_train,
+                       "lr": current_lr(state),
+                       "samples_per_sec": rate["samples_per_sec"]})
         if epoch % args.ckpt_freq == 0:
             save_checkpoint(args.ckpt_dir, epoch, state,
                             meta={"epoch": epoch, "logger": logger})

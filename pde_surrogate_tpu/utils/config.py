@@ -52,6 +52,9 @@ class BaseParser(argparse.ArgumentParser):
                           choices=["contourf", "imshow"])
         self.add_argument("--no-plot", action="store_true", default=False,
                           help="skip figure generation (pure training)")
+        self.add_argument("--profile-epoch", type=int, default=0,
+                          help="capture a jax.profiler trace of this epoch "
+                               "(0: off)")
 
     def finalize(self, args, hparams: str):
         """Create run/ckpt dirs, seed, persist args.txt."""
