@@ -25,6 +25,7 @@ from ..data.pipeline import DeviceDataset
 from ..models.codec import module_size
 from ..models.glow import MultiScaleCondGlow
 from ..ops.filters import SobelFilter
+from ..parallel.mesh import batch_sharding, data_mesh, replicate
 from ..train.checkpoint import (latest_epoch, restore_checkpoint,
                                 save_checkpoint)
 from ..train.glow_trainer import (create_glow_state, data_init_actnorm,
@@ -121,10 +122,13 @@ def main(argv=None):
                                LU_decompose=args.LU_decompose,
                                squeeze_factor=2)
 
+    mesh = data_mesh(args.n_devices) if args.n_devices else None
+    sharding = batch_sharding(mesh) if mesh else None
     train_ds = DeviceDataset(x_train, batch_size=args.batch_size,
-                             key=args.seed)
+                             key=args.seed, sharding=sharding)
     test_ds = DeviceDataset(x_test, y_test, batch_size=args.test_batch_size,
-                            key=args.seed + 1, shuffle=False)
+                            key=args.seed + 1, sharding=sharding,
+                            shuffle=False)
 
     total_steps = args.epochs * len(train_ds)
     sample_y = jnp.zeros((2, args.imsize, args.imsize, args.y_channels))
@@ -164,6 +168,9 @@ def main(argv=None):
         state = data_init_actnorm(model, state, yb, xb)
         initialized = True
         print("Finished data initialization of Actnorm")
+
+    if mesh:
+        state = replicate(state, mesh)
 
     def test(epoch, state):
         loss_sum, rel, sse, ent = 0.0, [], [], 0.0
