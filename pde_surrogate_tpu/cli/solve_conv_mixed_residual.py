@@ -30,7 +30,8 @@ from ..ops.darcy import (conv_boundary_condition,
 from ..ops.filters import SobelFilter
 from ..solvers.fd_darcy import solve_darcy_batch_fast, solve_nonlinear_darcy
 from ..train.lbfgs import lbfgs_optimizer, make_lbfgs_epoch
-from ..utils.config import BaseParser, int_list, seed_everything
+from ..utils.config import (BaseParser, enable_compilation_cache,
+                            int_list, seed_everything)
 from ..viz.plot import (plot_prediction_det, plot_prediction_det_animate,
                         save_stats)
 
@@ -95,6 +96,7 @@ class Parser(BaseParser):
 
 def main(argv=None):
     args = Parser().parse_args(argv)
+    enable_compilation_cache()
     seed_everything(args.seed)
     dataset = (f"{args.data}_kle{args.kle}" if args.data == "grf"
                else args.data)

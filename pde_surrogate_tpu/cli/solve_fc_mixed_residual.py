@@ -28,7 +28,8 @@ from ..models.cppn import CPPN, fc_model_size
 from ..ops.darcy import mixed_residual_fc, neumann_boundary_mixed
 from ..ops.sampling import SampleSpatial2d
 from ..train.lbfgs import lbfgs_optimizer, make_lbfgs_epoch
-from ..utils.config import BaseParser, seed_everything
+from ..utils.config import (BaseParser, enable_compilation_cache,
+                            seed_everything)
 from ..viz.plot import (plot_prediction_det, plot_prediction_det_animate,
                         plot_row, save_stats)
 from .solve_conv_mixed_residual import ensure_test_dataset
@@ -65,6 +66,7 @@ class Parser(BaseParser):
 
 def main(argv=None):
     args = Parser().parse_args(argv)
+    enable_compilation_cache()
     seed_everything(args.seed)
     dataset = (f"{args.data}_kle{args.kle}" if args.data == "grf"
                else args.data)

@@ -28,6 +28,24 @@ def int_list(s):
     return [int(tok) for tok in s.replace(" ", "").split(",") if tok]
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache for the drivers.
+
+    Compiles through the remote TPU tunnel cost 20-200 s per executable;
+    caching serialized executables makes re-runs of the same config start in
+    seconds.  No-op if the backend doesn't support serialization.
+    """
+    import jax
+
+    path = path or os.path.expanduser("~/.cache/pde_surrogate_tpu/xla")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 def seed_everything(seed: int | None) -> int:
     """Seed host RNGs; device randomness is explicit-key (jax.random)."""
     if seed is None:
@@ -58,6 +76,7 @@ class BaseParser(argparse.ArgumentParser):
 
     def finalize(self, args, hparams: str):
         """Create run/ckpt dirs, seed, persist args.txt."""
+        enable_compilation_cache()
         if args.debug:
             hparams = "debug/" + hparams
         args.run_dir = os.path.join(args.exp_dir, args.exp_name, hparams)
