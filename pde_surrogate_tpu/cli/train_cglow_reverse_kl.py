@@ -12,7 +12,6 @@ Run:  python -m pde_surrogate_tpu.cli.train_cglow_reverse_kl \
 
 from __future__ import annotations
 
-import json
 import os
 import time
 

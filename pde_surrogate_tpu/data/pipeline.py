@@ -16,7 +16,7 @@ the gather happens on device and XLA keeps each shard local.
 
 from __future__ import annotations
 
-from typing import Iterator, NamedTuple
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ the first layer has no bias (models/cppn.py:18).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ semantics (first half gets the extra channel when odd).
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -39,7 +39,6 @@ or (..., H, W).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ one jitted computation.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
