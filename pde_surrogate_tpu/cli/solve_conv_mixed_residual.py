@@ -29,6 +29,7 @@ from ..ops.darcy import (conv_boundary_condition,
                          conv_continuity_constraint)
 from ..ops.filters import SobelFilter
 from ..solvers.fd_darcy import solve_darcy_batch_fast, solve_nonlinear_darcy
+from ..train.checkpoint import save_checkpoint
 from ..train.lbfgs import lbfgs_optimizer, make_lbfgs_epoch
 from ..utils.config import (BaseParser, enable_compilation_cache,
                             int_list, seed_everything)
@@ -194,6 +195,8 @@ def main(argv=None):
         loss = float(loss)
         logger["loss"].append(loss)
         print(f"epoch {epoch}: loss {loss:.6f}")
+        if epoch % args.ckpt_freq == 0:
+            save_checkpoint(run_dir, epoch, params)
         test(epoch, params)
     print(f"Finished optimization for {args.epochs} epochs using "
           f"{(time.time() - tic) / 60:.3f} minutes")

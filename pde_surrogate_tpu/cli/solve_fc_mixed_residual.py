@@ -27,6 +27,7 @@ from ..data.hdf5 import load_data
 from ..models.cppn import CPPN, fc_model_size
 from ..ops.darcy import mixed_residual_fc, neumann_boundary_mixed
 from ..ops.sampling import SampleSpatial2d
+from ..train.checkpoint import save_checkpoint
 from ..train.lbfgs import lbfgs_optimizer, make_lbfgs_epoch
 from ..utils.config import (BaseParser, enable_compilation_cache,
                             seed_everything)
@@ -162,6 +163,8 @@ def main(argv=None):
         params, opt_state, loss = epoch_fn(params, opt_state)
         logger["loss"].append(float(loss))
         print(f"epoch {epoch}: loss {float(loss):.10f}")
+        if epoch % args.ckpt_freq == 0:
+            save_checkpoint(run_dir, epoch, params)
         test(epoch, params)
     print(f"Finished training {args.epochs} epochs in "
           f"{(time.time() - tic) / 60:.3f} minutes")
