@@ -158,9 +158,10 @@ def main(argv=None):
         diri, neum = conv_boundary_condition(output)
         return energy + (diri + neum) * args.weight_bound
 
-    opt = lbfgs_optimizer(memory_size=50)
+    opt = lbfgs_optimizer(memory_size=50, learning_rate=args.lr)
     opt_state = opt.init(params)
-    epoch_fn = make_lbfgs_epoch(loss_fn, opt, iters_per_epoch=20)
+    epoch_fn = make_lbfgs_epoch(loss_fn, opt, iters_per_epoch=20,
+                                with_linesearch=False)
 
     @jax.jit
     def predict(params):

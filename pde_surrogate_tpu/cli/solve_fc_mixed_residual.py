@@ -118,9 +118,10 @@ def main(argv=None):
         loss_neum = neumann_boundary_mixed(model_fn, params, x_neumann)
         return loss_colloc + args.weight_bound * (loss_diri + loss_neum)
 
-    opt = lbfgs_optimizer(memory_size=50)
+    opt = lbfgs_optimizer(memory_size=50, learning_rate=args.lr)
     opt_state = opt.init(params)
-    epoch_fn = make_lbfgs_epoch(loss_fn, opt, iters_per_epoch=20)
+    epoch_fn = make_lbfgs_epoch(loss_fn, opt, iters_per_epoch=20,
+                                with_linesearch=False)
 
     # full-grid prediction points, (y, x) ordering
     yy, xx = np.meshgrid(np.arange(args.imsize), np.arange(args.imsize),

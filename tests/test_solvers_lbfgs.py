@@ -21,7 +21,7 @@ def test_lbfgs_solves_quadratic():
         r = A @ x - b
         return jnp.sum(r * r)
 
-    opt = lbfgs_optimizer()
+    opt = lbfgs_optimizer(learning_rate=None)  # zoom-linesearch variant
     x = jnp.zeros(5)
     opt_state = opt.init(x)
     epoch = make_lbfgs_epoch(loss, opt, iters_per_epoch=25)
@@ -44,9 +44,10 @@ def test_lbfgs_trains_tiny_pinn():
     def loss(p):
         return mixed_residual_fc(model_fn, p, pts, K)
 
-    opt = lbfgs_optimizer()
+    opt = lbfgs_optimizer(learning_rate=0.5)  # torch-style fixed step
     opt_state = opt.init(params)
-    epoch = make_lbfgs_epoch(loss, opt, iters_per_epoch=10)
+    epoch = make_lbfgs_epoch(loss, opt, iters_per_epoch=10,
+                             with_linesearch=False)
     l0 = float(loss(params))
     for _ in range(3):
         params, opt_state, last = epoch(params, opt_state)
