@@ -93,6 +93,10 @@ class Parser(BaseParser):
         self.add_argument("--seed", type=int, default=1)
         self.add_argument("-v", "--verbose", action="store_true")
         self.add_argument("--no-plot", action="store_true", default=False)
+        self.add_argument("--linesearch", type=str, default="fixed",
+                          choices=["zoom", "fixed"],
+                          help="fixed (torch-style lr steps) escapes the "
+                               "basins zoom locks into on this objective")
 
 
 def main(argv=None):
@@ -158,10 +162,12 @@ def main(argv=None):
         diri, neum = conv_boundary_condition(output)
         return energy + (diri + neum) * args.weight_bound
 
-    opt = lbfgs_optimizer(memory_size=50, learning_rate=args.lr)
+    fixed = args.linesearch == "fixed"
+    opt = lbfgs_optimizer(memory_size=50,
+                          learning_rate=args.lr if fixed else None)
     opt_state = opt.init(params)
     epoch_fn = make_lbfgs_epoch(loss_fn, opt, iters_per_epoch=20,
-                                with_linesearch=False)
+                                with_linesearch=not fixed)
 
     @jax.jit
     def predict(params):

@@ -63,6 +63,10 @@ class Parser(BaseParser):
         self.add_argument("--seed", type=int, default=1)
         self.add_argument("-v", "--verbose", action="store_true")
         self.add_argument("--no-plot", action="store_true", default=False)
+        self.add_argument("--linesearch", type=str, default="zoom",
+                          choices=["zoom", "fixed"],
+                          help="zoom: Wolfe linesearch (stable for the deep "
+                               "FC net); fixed: torch-style lr steps")
 
 
 def main(argv=None):
@@ -118,10 +122,12 @@ def main(argv=None):
         loss_neum = neumann_boundary_mixed(model_fn, params, x_neumann)
         return loss_colloc + args.weight_bound * (loss_diri + loss_neum)
 
-    opt = lbfgs_optimizer(memory_size=50, learning_rate=args.lr)
+    fixed = args.linesearch == "fixed"
+    opt = lbfgs_optimizer(memory_size=50,
+                          learning_rate=args.lr if fixed else None)
     opt_state = opt.init(params)
     epoch_fn = make_lbfgs_epoch(loss_fn, opt, iters_per_epoch=20,
-                                with_linesearch=False)
+                                with_linesearch=not fixed)
 
     # full-grid prediction points, (y, x) ordering
     yy, xx = np.meshgrid(np.arange(args.imsize), np.arange(args.imsize),
