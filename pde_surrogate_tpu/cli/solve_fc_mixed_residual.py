@@ -67,6 +67,11 @@ class Parser(BaseParser):
                           choices=["zoom", "fixed"],
                           help="zoom: Wolfe linesearch (stable for the deep "
                                "FC net); fixed: torch-style lr steps")
+        self.add_argument("--adam-warmup", type=int, default=4000,
+                          help="Adam steps before L-BFGS (the classic PINN "
+                               "recipe; L-BFGS alone stalls in a flat basin "
+                               "of the deep tanh net). 0 disables.")
+        self.add_argument("--adam-lr", type=float, default=2e-3)
 
 
 def main(argv=None):
@@ -121,6 +126,21 @@ def main(argv=None):
             (model_fn(params, x_dirichlet)[:, 0:1] - y_dirichlet) ** 2)
         loss_neum = neumann_boundary_mixed(model_fn, params, x_neumann)
         return loss_colloc + args.weight_bound * (loss_diri + loss_neum)
+
+    if args.adam_warmup > 0:
+        import optax
+        aopt = optax.adam(args.adam_lr)
+        ast = aopt.init(params)
+
+        @jax.jit
+        def adam_step(p, st):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            u, st = aopt.update(g, st)
+            return optax.apply_updates(p, u), st, l
+
+        for i in range(args.adam_warmup):
+            params, ast, l = adam_step(params, ast)
+        print(f"Adam warmup ({args.adam_warmup} steps): loss {float(l):.6f}")
 
     fixed = args.linesearch == "fixed"
     opt = lbfgs_optimizer(memory_size=50,
