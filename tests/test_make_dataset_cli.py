@@ -1,0 +1,32 @@
+"""Dataset-factory CLI smoke: files in the reference layout."""
+
+import h5py
+import numpy as np
+
+
+def test_make_dataset_grf(tmp_path):
+    from pde_surrogate_tpu.cli.make_dataset import main
+    main(["--data-dir", str(tmp_path), "--imsize", "16", "--kle", "32",
+          "--ntrain", "8", "--nval", "4", "--ntest", "4",
+          "--n-monte-carlo", "4", "--solve-batch", "4"])
+    d = tmp_path / "16x16"
+    assert (d / "kle32_lhs8_train.hdf5").exists()
+    with h5py.File(d / "kle32_lhs4_val.hdf5") as f:
+        assert f["input"].shape == (4, 1, 16, 16)
+        assert f["output"].shape == (4, 3, 16, 16)
+        u = f["output"][:, 0]
+        np.testing.assert_allclose(u[:, :, 0], 1.0, atol=1e-5)
+    # train split has inputs only by default (label-free training)
+    with h5py.File(d / "kle32_lhs8_train.hdf5") as f:
+        assert "output" not in f
+    # idempotent: second call skips
+    main(["--data-dir", str(tmp_path), "--imsize", "16", "--kle", "32",
+          "--ntrain", "8", "--nval", "4", "--ntest", "4",
+          "--n-monte-carlo", "4", "--solve-batch", "4"])
+
+
+def test_make_dataset_warped(tmp_path):
+    from pde_surrogate_tpu.cli.make_dataset import main
+    main(["--data-dir", str(tmp_path), "--imsize", "16",
+          "--family", "warped_grf", "--ntest", "4", "--solve-batch", "4"])
+    assert (tmp_path / "16x16" / "warped_gp_ng16_n4.hdf5").exists()
