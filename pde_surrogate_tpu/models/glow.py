@@ -152,6 +152,19 @@ class MultiScaleCondGlow(nn.Module):
     train_sampling: bool = True
 
     def setup(self):
+        if len(self.enc_blocks) != len(self.flow_blocks):
+            raise ValueError(
+                f"enc_blocks and flow_blocks must have equal length "
+                f"(train_cglow_reverse_kl.py:72), got "
+                f"{len(self.enc_blocks)} vs {len(self.flow_blocks)}")
+        img = (self.img_size if isinstance(self.img_size, int)
+               else min(self.img_size))
+        scales = self.squeeze_factor ** (len(self.flow_blocks) - 1)
+        if img % scales:
+            raise ValueError(
+                f"img_size {self.img_size} must be divisible by "
+                f"squeeze_factor^(n_blocks-1) = {scales} "
+                f"(models/glow_msc.py:415)")
         z_shapes = glow_z_shapes(self.img_size, self.y_channels,
                                  self.flow_blocks, self.squeeze_factor)
         self.z_shapes_ = z_shapes

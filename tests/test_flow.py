@@ -160,6 +160,20 @@ def _tiny_glow():
                               enc_blocks=[2, 2, 2], flow_blocks=[2, 2, 2])
 
 
+def test_glow_config_validation():
+    import pytest as _pytest
+    x = _x((1, 12, 12, 1))
+    y = _x((1, 12, 12, 3))
+    bad_len = MultiScaleCondGlow(img_size=12, x_channels=1, y_channels=3,
+                                 enc_blocks=[2, 2, 2], flow_blocks=[2, 2])
+    with _pytest.raises(ValueError, match="equal length"):
+        bad_len.init(jax.random.key(0), y, x, train=False)
+    bad_size = MultiScaleCondGlow(img_size=12, x_channels=1, y_channels=3,
+                                  enc_blocks=[2, 2, 2], flow_blocks=[2, 2, 2])
+    with _pytest.raises(ValueError, match="divisible"):
+        bad_size.init(jax.random.key(0), y, x, train=False)
+
+
 def test_glow_generate_forward_consistency():
     """log p(y|x) from the generation path == density evaluation of the
     generated y.  Exercises every forward/reverse pair and logdet sign."""
