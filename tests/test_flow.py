@@ -169,7 +169,8 @@ def test_glow_config_validation():
     with _pytest.raises(ValueError, match="equal length"):
         bad_len.init(jax.random.key(0), y, x, train=False)
     bad_size = MultiScaleCondGlow(img_size=12, x_channels=1, y_channels=3,
-                                  enc_blocks=[2, 2, 2], flow_blocks=[2, 2, 2])
+                                  enc_blocks=[2, 2, 2, 2],
+                                  flow_blocks=[2, 2, 2, 2])
     with _pytest.raises(ValueError, match="divisible"):
         bad_size.init(jax.random.key(0), y, x, train=False)
 
