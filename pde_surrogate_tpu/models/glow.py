@@ -218,6 +218,23 @@ class MultiScaleCondGlow(nn.Module):
 
     # --- generation: z -> y (the reverse-KL training path) ----------------
 
+    def _generate_from(self, conditions, cond_prior, eps_list,
+                       temperature: float, train: bool):
+        """Reverse flow z -> y from precomputed conditioning features."""
+        n = len(self.flow_blocks)
+        z = cond_prior.sample(eps=eps_list[-1])
+        logp = cond_prior.log_prob(z)
+        for i in reversed(range(n)):
+            block = self.flow[i]
+            cond = conditions[i]
+            if i == 0:
+                z, ld = block(z, cond, reverse=True, train=train)
+            else:
+                eps = eps_list[i - 1] * temperature if i != n - 1 else None
+                z, ld = block(z, cond, reverse=True, eps=eps, train=train)
+            logp = logp + ld
+        return z, logp
+
     def generate(self, x, eps_list=None, key=None, train: bool = True,
                  temperature: float = 1.0):
         """One sample y ~ p(y|x) per input with its log-likelihood.
@@ -228,41 +245,19 @@ class MultiScaleCondGlow(nn.Module):
         (temperature scales split eps only, matching sample()'s quirk of
         leaving the top-latent eps unscaled).
         """
-        n = len(self.flow_blocks)
         if eps_list is None:
             if key is None:
                 raise ValueError("generate() needs key or eps_list")
-            keys = jax.random.split(key, n)
+            eps_list = [e[0] for e in self.create_noise(key, 1, x.shape[0])]
         conditions, cond_prior = self.encoder(x, train=train)
-
-        eps_top = None if eps_list is None else eps_list[-1]
-        if eps_top is None:
-            eps_top = jax.random.normal(keys[-1], cond_prior.mean.shape,
-                                        cond_prior.mean.dtype)
-        z = cond_prior.sample(eps=eps_top)
-        logp = cond_prior.log_prob(z)
-
-        for j, i in enumerate(reversed(range(n))):
-            block = self.flow[i]
-            cond = conditions[i]
-            if i == 0:
-                z, ld = block(z, cond, reverse=True, train=train)
-            else:
-                eps = None
-                bkey = None
-                if i != n - 1:  # middle block: split latent
-                    if eps_list is not None:
-                        eps = eps_list[i - 1] * temperature
-                    else:
-                        bkey = keys[i - 1]
-                z, ld = block(z, cond, reverse=True, eps=eps, key=bkey,
-                              train=train)
-            logp = logp + ld
-        return z, logp
+        return self._generate_from(conditions, cond_prior, eps_list,
+                                   temperature, train)
 
     def sample(self, x, n_samples: int, key=None, eps_list=None,
                temperature: float | None = None, train: bool = False):
-        """(n_samples, B, H, W, C) samples — vmapped generate.
+        """(n_samples, B, H, W, C) samples — one encoder pass, vmapped
+        reverse flow over the sample axis (the reference loops in Python,
+        models/glow_msc.py:861-872).
 
         Default temperature 0.7 when None (models/glow_msc.py:850-851);
         callers in the drivers pass 1.0 explicitly like the reference.
@@ -271,12 +266,12 @@ class MultiScaleCondGlow(nn.Module):
             temperature = 0.7
         if eps_list is None:
             eps_list = self.create_noise(key, n_samples, x.shape[0])
+        conditions, cond_prior = self.encoder(x, train=train)
 
         def one(eps):
-            return self.generate(x, eps_list=eps, train=train,
-                                 temperature=temperature)[0]
+            return self._generate_from(conditions, cond_prior, eps,
+                                       temperature, train)[0]
 
-        # vmap over the sample axis of every eps tensor
         return jax.vmap(one)(eps_list)
 
     def create_noise(self, key, n_samples: int, batch_size: int):
