@@ -148,7 +148,8 @@ def run_codec_training(args, loss_kind: str):
     n_params, n_layers = module_size(state.params)
     print(f"# params {n_params}, # conv layers {n_layers}")
 
-    sobel = SobelFilter(args.imsize, correct=True)
+    sobel = SobelFilter(args.imsize, correct=True,
+                        filter_size=getattr(args, "sobel_size", 3))
     if loss_kind == "mixed_residual":
         train_step = make_mixed_residual_step(model, tx, sobel,
                                               args.weight_bound)

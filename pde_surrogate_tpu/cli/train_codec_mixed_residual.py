@@ -45,6 +45,8 @@ class Parser(BaseParser):
         self.add_argument("--lr-pct", type=float, default=0.3)
         self.add_argument("--weight-decay", type=float, default=0.0)
         self.add_argument("--weight-bound", type=float, default=10.0)
+        self.add_argument("--sobel-size", type=int, default=3, choices=[3, 5],
+                          help="derivative stencil for the physics loss")
         self.add_argument("--batch-size", type=int, default=32)
         self.add_argument("--test-batch-size", type=int, default=64)
         self.add_argument("--seed", type=int, default=1)

@@ -180,12 +180,15 @@ class SobelFilter:
     """
 
     def __init__(self, imsize: int, correct: bool = True,
-                 precision: str | jax.lax.Precision = "highest"):
+                 precision: str | jax.lax.Precision = "highest",
+                 filter_size: int = 3):
         """``precision``: 'highest' (full f32, bit-parity default), 'high'
         (bf16x3 passes, ~1e-5 relative error, ~2x faster), or 'default'
-        (single bf16 pass — training-speed mode)."""
+        (single bf16 pass — training-speed mode).  ``filter_size`` sets the
+        default stencil (3 or 5) used when grad_h/grad_v get None."""
         self.imsize = int(imsize)
         self.correct = bool(correct)
+        self.filter_size = int(filter_size)
         if isinstance(precision, str):
             precision = {"highest": jax.lax.Precision.HIGHEST,
                          "high": jax.lax.Precision.HIGH,
@@ -197,14 +200,16 @@ class SobelFilter:
             raise ValueError(f"filter_size must be 3 or 5, got {filter_size}")
         return _sobel_operators(self.imsize, filter_size, self.correct)
 
-    def grad_h(self, image: jax.Array, filter_size: int = 3) -> jax.Array:
+    def grad_h(self, image: jax.Array, filter_size: int | None = None
+               ) -> jax.Array:
         """d/dx of (..., H, W[, C]) images (unit square, corrected boundary)."""
-        lh, rh, _, _ = self._ops(filter_size)
+        lh, rh, _, _ = self._ops(filter_size or self.filter_size)
         return _apply_lr(image, lh, rh, self.precision)
 
-    def grad_v(self, image: jax.Array, filter_size: int = 3) -> jax.Array:
+    def grad_v(self, image: jax.Array, filter_size: int | None = None
+               ) -> jax.Array:
         """d/dy of (..., H, W[, C]) images (unit square, corrected boundary)."""
-        _, _, lv, rv = self._ops(filter_size)
+        _, _, lv, rv = self._ops(filter_size or self.filter_size)
         return _apply_lr(image, lv, rv, self.precision)
 
 
