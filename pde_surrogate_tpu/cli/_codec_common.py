@@ -33,7 +33,8 @@ from ..train.codec_trainer import (create_state, current_lr, make_eval_step,
 from ..utils.metrics import r2_score
 from ..viz.plot import plot_prediction_det, save_stats
 
-__all__ = ["ensure_dataset", "resolve_dataset_files", "run_codec_training"]
+__all__ = ["ensure_dataset", "resolve_dataset_files", "run_codec_training",
+           "run_find_lr"]
 
 
 def _generate_inputs(data: str, n: int, imsize: int, kle: int, seed: int):
@@ -79,28 +80,30 @@ def resolve_dataset_files(args, need_train_output: bool = False):
     split too; label-free physics training generates inputs only.
     """
     if args.data == "grf_kle512":
+        # --kle overrides the KLE truncation (512 = reference default);
+        # unblocks the 32x32 kle100/128 family matrix in BASELINE.md.
+        kle = getattr(args, "kle", None) or 512
         train = dataset_path(args.data_dir, args.imsize,
-                             "kle512_lhs10000_train")
-        test = dataset_path(args.data_dir, args.imsize, "kle512_lhs1000_val")
+                             f"kle{kle}_lhs10000_train")
+        test = dataset_path(args.data_dir, args.imsize,
+                            f"kle{kle}_lhs1000_val")
         ntrain_total, ntest_total = 10000, 1000
-        kle = 512
+        family = "grf"
     elif args.data == "channelized":
         train = dataset_path(args.data_dir, args.imsize,
                              "channel_ng64_n4096_train")
         test = dataset_path(args.data_dir, args.imsize,
                             "channel_ng64_n512_test")
         ntrain_total, ntest_total = 4096, 512
-        kle = 0
+        kle, family = 0, "channelized"
     else:
         raise ValueError(f"unknown data option: {args.data}")
     assert args.ntrain <= ntrain_total and args.ntest <= ntest_total
     # generate lazily at the size actually needed (inputs only for train)
-    ensure_dataset(train, args.data.replace("_kle512", ""),
-                   max(args.ntrain, 1), args.imsize, kle, seed=10_000 + kle,
-                   with_output=need_train_output)
-    ensure_dataset(test, args.data.replace("_kle512", ""),
-                   max(args.ntest, 1), args.imsize, kle, seed=20_000 + kle,
-                   with_output=True)
+    ensure_dataset(train, family, max(args.ntrain, 1), args.imsize, kle,
+                   seed=10_000 + kle, with_output=need_train_output)
+    ensure_dataset(test, family, max(args.ntest, 1), args.imsize, kle,
+                   seed=20_000 + kle, with_output=True)
     return train, test
 
 
@@ -241,3 +244,75 @@ def run_codec_training(args, loss_kind: str):
     from ..data.hdf5 import save_args
     save_args(args.run_dir, args)
     return state, logger
+
+
+def run_find_lr(args, loss_kind: str, init_value: float = 1e-8,
+                final_value: float = 10.0, beta: float = 0.98):
+    """LR-range test (reference: utils/practices.py:45-83), --find-lr hook.
+
+    One epoch with exponentially increasing LR; records the smoothed loss
+    per log10(lr), stops when it exceeds 4x the best.  Writes
+    ``find_lr.txt`` (log_lr, smoothed_loss columns) and ``find_lr.pdf``
+    into the run dir and returns (log_lrs, losses).
+    """
+    from ..train.schedules import find_lr_schedule
+
+    model = DenseED(in_channels=1, out_channels=3, imsize=args.imsize,
+                    blocks=args.blocks, growth_rate=args.growth_rate,
+                    init_features=args.init_features,
+                    drop_rate=args.drop_rate, out_activation=None,
+                    upsample=args.upsample)
+    train_file, _ = resolve_dataset_files(
+        args, need_train_output=(loss_kind == "mle"))
+    x_train, y_train, _ = load_data(train_file, args.ntrain,
+                                    only_input=(loss_kind == "mixed_residual"))
+    arrays = (x_train,) if y_train is None else (x_train, y_train)
+    train_ds = DeviceDataset(*arrays, batch_size=args.batch_size,
+                             key=args.seed)
+
+    num = max(len(train_ds) - 1, 1)
+    schedule = find_lr_schedule(init_value, final_value, num)
+    sample = jnp.asarray(x_train[: max(args.batch_size // 8, 1)])
+    state, tx = create_state(model, jax.random.key(args.seed), sample,
+                             lr_max=args.lr, total_steps=num,
+                             schedule=schedule,
+                             weight_decay=args.weight_decay)
+    sobel = SobelFilter(args.imsize, correct=True,
+                        filter_size=getattr(args, "sobel_size", 3))
+    if loss_kind == "mixed_residual":
+        step = make_mixed_residual_step(model, tx, sobel, args.weight_bound)
+    else:
+        step = make_mle_step(model, tx)
+
+    mult = (final_value / init_value) ** (1.0 / num)
+    avg_loss, best_loss = 0.0, 0.0
+    log_lrs, losses = [], []
+    for batch_num, batch in enumerate(train_ds.batches(1), start=1):
+        lr = init_value * mult ** (batch_num - 1)
+        state, metrics = step(state, *batch)
+        avg_loss = beta * avg_loss + (1 - beta) * float(metrics["loss"])
+        smoothed = avg_loss / (1 - beta ** batch_num)
+        if batch_num > 1 and smoothed > 4 * best_loss:
+            print(f"[find_lr] diverged at lr {lr:.3e} (step {batch_num})")
+            break
+        if smoothed < best_loss or batch_num == 1:
+            best_loss = smoothed
+        log_lrs.append(np.log10(lr))
+        losses.append(smoothed)
+    print(f"[find_lr] best smoothed loss {best_loss:.4f}; "
+          f"suggested lr ~ 10^{log_lrs[int(np.argmin(losses))]:.2f} / 10")
+
+    out = np.stack([log_lrs, losses], axis=1)
+    np.savetxt(os.path.join(args.run_dir, "find_lr.txt"), out,
+               header="log10_lr smoothed_loss")
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    sl = slice(10, -5) if len(log_lrs) > 20 else slice(None)
+    plt.figure()
+    plt.plot(np.asarray(log_lrs)[sl], np.asarray(losses)[sl])
+    plt.xlabel("log10(lr)")
+    plt.ylabel("smoothed loss")
+    plt.savefig(os.path.join(args.run_dir, "find_lr.pdf"))
+    plt.close()
+    return log_lrs, losses

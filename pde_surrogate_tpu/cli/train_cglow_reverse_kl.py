@@ -172,7 +172,10 @@ def main(argv=None):
         state = replicate(state, mesh)
 
     def test(epoch, state):
-        loss_sum, rel, sse, ent = 0.0, [], [], 0.0
+        # entropy is the batch mean (the reference logged only the last
+        # batch's — and in fact the *training* loop's, a real bug:
+        # train_cglow_reverse_kl.py:177,185)
+        loss_sum, rel, sse, ent_sum = 0.0, [], [], 0.0
         plot_batch = None
         step_fn = eval_mean if epoch % 10 == 0 else eval_one
         for i, (x, y) in enumerate(test_ds.batches(epoch)):
@@ -180,12 +183,13 @@ def main(argv=None):
                                      epoch * 1000 + i)
             out = step_fn(state, x, y, key)
             loss_sum += float(out["loss"])
-            ent = float(out["neg_entropy"])
+            ent_sum += float(out["neg_entropy"])
             rel.append(np.asarray(out["rel_l2"]))
             sse.append(np.asarray(out["sse"]))
             if i == 0:
                 plot_batch = (np.asarray(x), np.asarray(y))
         loss_test = loss_sum / len(test_ds)
+        ent = ent_sum / len(test_ds)
         relative_l2 = np.concatenate(rel, 0).mean(0)
         r2 = np.asarray(r2_score(jnp.asarray(np.concatenate(sse, 0).sum(0)),
                                  jnp.asarray(y_variation)))

@@ -26,6 +26,8 @@ class Parser(BaseParser):
         self.add_argument("--data-dir", type=str, default="./datasets")
         self.add_argument("--data", type=str, default="grf_kle512",
                           choices=["grf_kle512", "channelized"])
+        self.add_argument("--kle", type=int, default=512,
+                          help="KLE truncation for the grf family")
         self.add_argument("--ntrain", type=int, default=4096)
         self.add_argument("--ntest", type=int, default=512)
         self.add_argument("--imsize", type=int, default=64)
@@ -41,12 +43,18 @@ class Parser(BaseParser):
         self.add_argument("--test-batch-size", type=int, default=64)
         self.add_argument("--seed", type=int, default=1)
         self.add_argument("--n-devices", type=int, default=None)
+        self.add_argument("--find-lr", action="store_true", default=False,
+                          help="run the LR-range test instead of training")
         self.add_logging_args(ckpt_freq=100, log_freq=1, plot_freq=50)
 
     def parse(self, argv=None):
         args = self.parse_args(argv)
         hparams = (f"{args.data}_ntrain{args.ntrain}_run{args.run}_"
                    f"bs{args.batch_size}_lr{args.lr}_epochs{args.epochs}")
+        if args.kle != 512:
+            hparams += f"_kle{args.kle}"
+        if args.imsize != 64:
+            hparams += f"_im{args.imsize}"
         assert args.ntrain % args.batch_size == 0 and \
             args.ntest % args.test_batch_size == 0
         return self.finalize(args, hparams)
@@ -54,6 +62,9 @@ class Parser(BaseParser):
 
 def main(argv=None):
     args = Parser().parse(argv)
+    if args.find_lr:
+        from ._codec_common import run_find_lr
+        return run_find_lr(args, loss_kind="mle")
     return run_codec_training(args, loss_kind="mle")
 
 

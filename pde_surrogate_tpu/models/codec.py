@@ -33,6 +33,13 @@ import numpy as np
 
 __all__ = ["DenseED", "Decoder", "module_size", "activation"]
 
+# torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+# == variance fan_in/3.  Flax's lecun_normal default has 3x that variance and
+# measurably slows early mixed-residual training (A/B vs the reference,
+# docs/RESULTS.md); biases in this file are either absent or zero-init.
+torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                   "uniform")
+
 
 def module_size(params) -> tuple[int, int]:
     """(n_params, n_conv_layers) — parity with models/codec.py:14-21."""
@@ -123,7 +130,8 @@ class DenseLayer(nn.Module):
         y = x
         norm = functools.partial(nn.BatchNorm, use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5, dtype=self.dtype)
-        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                                 kernel_init=torch_conv_init)
         if self.bottleneck and in_features > self.bn_size * self.growth_rate:
             y = nn.relu(norm(name="norm1")(y))
             y = conv(self.bn_size * self.growth_rate, (1, 1), name="conv1")(y)
@@ -172,7 +180,8 @@ class Transition(nn.Module):
     def __call__(self, x, train: bool = True):
         norm = functools.partial(nn.BatchNorm, use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5, dtype=self.dtype)
-        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                                 kernel_init=torch_conv_init)
         x = nn.relu(norm(name="norm1")(x))
         if self.down:
             if self.bottleneck:
@@ -190,6 +199,7 @@ class Transition(nn.Module):
                 if self.upsample is None:
                     x = nn.ConvTranspose(self.out_features, (3, 3), strides=(2, 2),
                                          padding=((1, 2), (1, 2)), use_bias=False,
+                                         kernel_init=torch_conv_init,
                                          dtype=self.dtype, name="convT2")(x)
                 else:
                     x = _upsample(x, self.upsample)
@@ -198,6 +208,7 @@ class Transition(nn.Module):
             else:
                 x = nn.ConvTranspose(self.out_features, (3, 3), strides=(2, 2),
                                      padding=((1, 2), (1, 2)), use_bias=False,
+                                     kernel_init=torch_conv_init,
                                      dtype=self.dtype, name="convT1")(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
@@ -219,15 +230,18 @@ class LastDecoding(nn.Module):
         in_features = x.shape[-1]
         x = nn.relu(norm(name="norm1")(x))
         x = nn.Conv(in_features // 2, (3, 3), padding=1, use_bias=False,
+                    kernel_init=torch_conv_init,
                     dtype=self.dtype, name="conv1")(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
         x = nn.relu(norm(name="norm2")(x))
         x = _upsample(x, self.upsample)
         x = nn.Conv(in_features // 4, (3, 3), padding=1, use_bias=self.bias,
+                    kernel_init=torch_conv_init,
                     dtype=self.dtype, name="conv2")(x)
         x = nn.relu(norm(name="norm3")(x))
         x = nn.Conv(self.out_channels, (5, 5), padding=2, use_bias=self.bias,
+                    kernel_init=torch_conv_init,
                     dtype=self.dtype, name="conv3")(x)
         return x
 
@@ -267,7 +281,8 @@ class DenseED(nn.Module):
 
         pad = 3 if self.imsize % 2 == 0 else 2
         x = nn.Conv(self.init_features, (7, 7), strides=2, padding=pad,
-                    use_bias=False, dtype=self.dtype, name="in_conv")(x)
+                    use_bias=False, kernel_init=torch_conv_init,
+                    dtype=self.dtype, name="in_conv")(x)
         num_features = self.init_features
         for i, num_layers in enumerate(enc_blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
@@ -319,6 +334,7 @@ class Decoder(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = nn.Conv(self.init_features, (3, 3), padding=1, use_bias=False,
+                    kernel_init=torch_conv_init,
                     dtype=self.dtype, name="conv0")(x)
         num_features = self.init_features
         for i, num_layers in enumerate(self.blocks):

@@ -44,14 +44,17 @@ class CodecState(NamedTuple):
 
 def create_state(model, key, sample_input, lr_max: float, total_steps: int,
                  div_factor: float = 2.0, pct_start: float = 0.3,
-                 weight_decay: float = 0.0):
+                 weight_decay: float = 0.0, schedule=None):
     """Initialize params/batch_stats and the optax Adam + OneCycle optimizer.
 
     Reference optimizer: Adam(lr, weight_decay) + OneCycleScheduler
-    (train_codec_mixed_residual.py:151-154).
+    (train_codec_mixed_residual.py:151-154).  ``schedule`` overrides the
+    OneCycle step->lr function (used by the --find-lr range test).
     """
     variables = model.init(key, sample_input, train=False)
-    schedule = one_cycle_schedule(lr_max, total_steps, div_factor, pct_start)
+    if schedule is None:
+        schedule = one_cycle_schedule(lr_max, total_steps, div_factor,
+                                      pct_start)
     tx = optax.inject_hyperparams(_adam_l2, static_args=("weight_decay",))(
         learning_rate=schedule, weight_decay=weight_decay)
     params = variables["params"]

@@ -44,6 +44,37 @@ class GlowSurrogate:
 
         self._sample = jax.jit(_sample)
 
+        def _propagate(x, key, var_samples: int):
+            """Full MC propagation in ONE device program.
+
+            x: (n_chunks, B, H, W, C).  One lax.scan step = one (chunk,
+            var_sample) pair, so peak memory stays at n_samples x B fields
+            while the 30 ms-RTT tunnel sees a single dispatch (the
+            reference's double loop was var_samples x n_batches dispatches,
+            models/glow_msc.py:939-968).
+            """
+            n_chunks = x.shape[0]
+            field = x.shape[2:4] + (model.y_channels,)
+
+            def step(carry, t):
+                v, c = t // n_chunks, t % n_chunks
+                xb = jax.lax.dynamic_index_in_dim(x, c, 0, keepdims=False)
+                s = _sample(xb, jax.random.fold_in(key, t))
+                ey, eyy = carry
+                ey = ey.at[v].add(s.mean(axis=(0, 1)))
+                eyy = eyy.at[v].add((s * s).mean(axis=(0, 1)))
+                return (ey, eyy), None
+
+            init = (jnp.zeros((var_samples,) + field),
+                    jnp.zeros((var_samples,) + field))
+            (ey, eyy), _ = jax.lax.scan(
+                step, init, jnp.arange(n_chunks * var_samples))
+            ey, eyy = ey / n_chunks, eyy / n_chunks
+            vy = eyy - ey ** 2  # E[Y^2|v] - E[Y|v]^2: total predictive var
+            return ey.mean(0), ey.var(0), vy.mean(0), vy.var(0)
+
+        self._propagate = jax.jit(_propagate, static_argnums=(2,))
+
     def sample(self, x, key):
         """(n_samples, B, H, W, C) samples for inputs (B, H, W, C)."""
         return self._sample(jnp.asarray(x), key)
@@ -53,33 +84,30 @@ class GlowSurrogate:
         s = self.sample(x, key)
         return s.mean(axis=0), s.var(axis=0)
 
-    def propagate(self, mc_batches, key, var_samples: int = 10):
+    def propagate(self, mc_x, key, var_samples: int = 10,
+                  batch_size: int = 64):
         """Uncertainty propagation (models/glow_msc.py:939-968).
 
         E[Y] = E_X E[Y|X]; Var[Y] = E_X Var(Y|X) + Var_X E[Y|X], with
         ``var_samples`` repetitions to estimate the estimator's own spread.
         Returns (EE, VE, EV, VV) per-pixel fields (H, W, C).
+
+        ``mc_x``: (N, H, W, C) Monte-Carlo inputs; chunked into the largest
+        divisor of N <= batch_size (all N used; falls back to trimming —
+        loudly — only when N is nearly prime).
         """
-        eys, vys = [], []
-        for i in range(var_samples):
-            ey = None
-            eyy = None
-            count = 0
-            for x, _ in mc_batches():
-                k = jax.random.fold_in(key, i * 100003 + count)
-                s = self.sample(x, k)
-                y_mean = s.mean(axis=0).mean(axis=0)
-                y2_mean = (s ** 2).mean(axis=0).mean(axis=0)
-                ey = y_mean if ey is None else ey + y_mean
-                eyy = y2_mean if eyy is None else eyy + y2_mean
-                count += 1
-            ey, eyy = ey / count, eyy / count
-            eys.append(ey)
-            vys.append(eyy - ey ** 2)
-        ey_stack = jnp.stack(eys)
-        vy_stack = jnp.stack(vys)
-        return (ey_stack.mean(0), ey_stack.var(0),
-                vy_stack.mean(0), vy_stack.var(0))
+        x = jnp.asarray(mc_x)
+        n = len(x)
+        b = max(d for d in range(1, min(batch_size, n) + 1) if n % d == 0)
+        if b < max(batch_size // 2, 1):
+            b = min(batch_size, n)
+            n_use = (n // b) * b
+            print(f"[propagate] N={n} has no divisor near {batch_size}; "
+                  f"using first {n_use} MC samples")
+            x = x[:n_use]
+            n = n_use
+        xs = x.reshape(n // b, b, *x.shape[1:])
+        return self._propagate(xs, key, var_samples)
 
 
 class UQCondGlow:
@@ -145,9 +173,9 @@ class UQCondGlow:
         plot_row([mean_x[..., 0], var_x[..., 0]], out_dir, "input_MC",
                  plot_fn="contourf", cmap="jet")
 
-        ee, ve, ev, vv = self.s.propagate(
-            lambda: self._batches(self.mc_x, self.mc_y), self.key,
-            var_samples=var_samples)
+        ee, ve, ev, vv = self.s.propagate(self.mc_x, self.key,
+                                          var_samples=var_samples,
+                                          batch_size=self.batch_size)
         ee, ve, ev, vv = (np.asarray(a) for a in (ee, ve, ev, vv))
         plot_MC2(out_dir, mean_y, ee, ve, True, self.ntrain,
                  manual_scale=manual_scale)

@@ -67,3 +67,94 @@ def test_solve_conv_cli(tmp_path):
         "--epochs", "2", "--test-freq", "2"]))
     assert len(logger["loss"]) == 2
     assert np.isfinite(logger["loss"]).all()
+
+
+def test_solve_conv_nonlinear_cli(tmp_path):
+    """--nonlinear: FV-Newton oracle + .npy cache
+    (solve_conv_mixed_residual.py:102-114)."""
+    from pde_surrogate_tpu.cli.solve_conv_mixed_residual import main
+    argv = _common(tmp_path, [
+        "--imsize", "16", "--kle", "128", "--idx", "1", "--blocks", "2,2",
+        "--epochs", "2", "--test-freq", "2", "--nonlinear",
+        "--alpha1", "0.5", "--alpha2", "0.5"])
+    params, logger, target = main(argv)
+    assert target.shape == (3, 16, 16) and np.isfinite(target).all()
+    # nonlinear oracle obeys the BCs: u(:,0)=1, u(:,-1)=0, sigma2 = 0 walls
+    assert np.allclose(target[0, :, 0], 1.0, atol=1e-4)
+    assert np.allclose(target[0, :, -1], 0.0, atol=1e-4)
+    cache = list((tmp_path / "experiments").rglob("output_fv_newton.npy"))
+    assert len(cache) == 1
+    # second run must reuse the cached oracle (mtime unchanged)
+    mtime = cache[0].stat().st_mtime_ns
+    main(argv)
+    assert cache[0].stat().st_mtime_ns == mtime
+
+
+def test_codec_resume_cli(tmp_path):
+    """--ckpt-epoch resume reproduces the uninterrupted run exactly
+    (deterministic data streams + full-state checkpoints)."""
+    from pde_surrogate_tpu.cli.train_codec_mixed_residual import main
+    argv = _common(tmp_path, [
+        "--ntrain", "16", "--ntest", "8", "--batch-size", "8",
+        "--test-batch-size", "8", "--imsize", "16", "--epochs", "2",
+        "--blocks", "1,2,1", "--growth-rate", "4", "--init-features", "8",
+        "--ckpt-freq", "1"])
+    state, logger = main(argv)
+    state2, logger2 = main(argv + ["--ckpt-epoch", "1"])
+    assert len(logger2["loss_train"]) == 1  # resumed epoch 2 only
+    np.testing.assert_allclose(logger2["loss_train"][0],
+                               logger["loss_train"][1], rtol=1e-5)
+
+
+def test_codec_dp_driver_cli(tmp_path):
+    """Driver-level data parallelism: --n-devices 8 exercises DeviceDataset
+    sharding + state replication + the SPMD step from argv."""
+    from pde_surrogate_tpu.cli.train_codec_mixed_residual import main
+    state, logger = main(_common(tmp_path, [
+        "--ntrain", "16", "--ntest", "8", "--batch-size", "8",
+        "--test-batch-size", "8", "--imsize", "16", "--epochs", "2",
+        "--blocks", "1,2,1", "--growth-rate", "4", "--init-features", "8",
+        "--n-devices", "8"]))
+    assert len(logger["loss_train"]) == 2
+    assert np.isfinite(logger["loss_train"]).all()
+    assert np.isfinite(logger["nrmse_test"]).all()
+
+
+def test_find_lr_cli(tmp_path):
+    """--find-lr runs the LR-range test and writes find_lr.{txt,pdf}."""
+    from pde_surrogate_tpu.cli.train_codec_mixed_residual import main
+    log_lrs, losses = main(_common(tmp_path, [
+        "--ntrain", "32", "--ntest", "8", "--batch-size", "8",
+        "--test-batch-size", "8", "--imsize", "16", "--epochs", "2",
+        "--blocks", "1,2,1", "--growth-rate", "4", "--init-features", "8",
+        "--find-lr"]))
+    assert 1 <= len(losses) <= 4 and np.isfinite(losses).all()
+    out = list((tmp_path / "experiments").rglob("find_lr.txt"))
+    assert len(out) == 1
+    assert (out[0].parent / "find_lr.pdf").exists()
+
+
+def test_train_cglow_and_post_cli(tmp_path):
+    """train_cglow_reverse_kl -> post_cglow chained: checkpoint restore +
+    all five UQ tasks through argv (reference post_cglow.py)."""
+    from pde_surrogate_tpu.cli.post_cglow import main as post_main
+    from pde_surrogate_tpu.cli.train_cglow_reverse_kl import main as train_main
+    state, logger = train_main(_common(tmp_path, [
+        "--kle", "64", "--ntrain", "16", "--ntest", "8", "--imsize", "16",
+        "--enc-blocks", "2,2", "--flow-blocks", "2,2", "--batch-size", "8",
+        "--test-batch-size", "8", "--epochs", "2", "--ckpt-freq", "2"]))
+    assert np.isfinite(logger["loss_train"]).all()
+    assert len(logger["entropy_test"]) == 2
+
+    runs = list((tmp_path / "experiments" / "cglow" / "reverse_kld").iterdir())
+    assert len(runs) == 1
+    uq = post_main(["--run-dir", str(runs[0]), "--n-monte-carlo", "8",
+                    "--ntest", "8", "--batch-size", "4", "--n-samples", "3",
+                    "--var-samples", "2", "--n-pred", "1", "--num-loc", "2"])
+    post_dir = runs[0] / "post_proc_epoch2"
+    rel = np.loadtxt(post_dir / "nrmse_test.txt")
+    assert rel.shape == (3,) and np.isfinite(rel).all()
+    assert (post_dir / "r2_test.txt").exists()
+    assert (post_dir / "uncertainty_quality" /
+            "reliability_diagram.txt").exists()
+    assert (post_dir / "out_stats" / "out_stats.mat").exists()
