@@ -244,6 +244,25 @@ def gaussian_filter1d_weights(sigma: float, order: int = 0,
     return w
 
 
+@functools.lru_cache(maxsize=32)
+def _reflect_stencil_matrix(weights: tuple, n: int) -> np.ndarray:
+    """Operator matrix for a 1-D correlation with reflect padding.
+
+    Module-level cache keyed on the weight values (an instance-method
+    lru_cache would pin filter objects alive and key only on identity).
+    """
+    c = len(weights) // 2
+    m = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        for k, wk in enumerate(weights):
+            j = i + k - c
+            # reflect (scipy 'reflect' == torch F.pad 'reflect' for interior)
+            while j < 0 or j >= n:
+                j = -j if j < 0 else 2 * (n - 1) - j
+            m[i, j] += wk
+    return m.astype(np.float32)
+
+
 class GaussianFilter:
     """Separable Gaussian smoother, reflect padding (utils/image_gradient.py:164-184).
 
@@ -254,19 +273,8 @@ class GaussianFilter:
     def __init__(self, sigma: float = 1.0, truncate: float = 4.0, order: int = 0):
         self.weights1d = gaussian_filter1d_weights(sigma, order, truncate)
 
-    @functools.lru_cache(maxsize=16)
     def _op(self, n: int):
-        w = self.weights1d
-        c = len(w) // 2
-        m = np.zeros((n, n), dtype=np.float64)
-        for i in range(n):
-            for k, wk in enumerate(w):
-                j = i + k - c
-                # reflect (scipy 'reflect' == torch F.pad 'reflect' for interior)
-                while j < 0 or j >= n:
-                    j = -j if j < 0 else 2 * (n - 1) - j
-                m[i, j] += wk
-        return m.astype(np.float32)
+        return _reflect_stencil_matrix(tuple(self.weights1d), n)
 
     def __call__(self, image: jax.Array) -> jax.Array:
         if image.ndim >= 3:  # (..., H, W, C)
@@ -298,14 +306,8 @@ class FourierFilter:
     def __init__(self, imsize: int):
         self.imsize = int(imsize)
 
-    @functools.lru_cache(maxsize=8)
     def _ops(self, filter_size: int):
-        p, d = self._TAPS[filter_size]
-        s = stencil_matrix(self.imsize, p)
-        df = stencil_matrix(self.imsize, d)
-        f32 = lambda a: np.asarray(a, dtype=np.float32)
-        return f32(s[None]), f32((self.imsize * df.T)[None]), \
-            f32((self.imsize * df)[None]), f32(s.T[None])
+        return _fourier_operators(self.imsize, filter_size)
 
     def grad_h(self, image: jax.Array, filter_size: int = 5) -> jax.Array:
         lh, rh, _, _ = self._ops(filter_size)
@@ -314,3 +316,13 @@ class FourierFilter:
     def grad_v(self, image: jax.Array, filter_size: int = 5) -> jax.Array:
         _, _, lv, rv = self._ops(filter_size)
         return _apply_lr(image, lv, rv)
+
+
+@functools.lru_cache(maxsize=8)
+def _fourier_operators(imsize: int, filter_size: int):
+    p, d = FourierFilter._TAPS[filter_size]
+    s = stencil_matrix(imsize, p)
+    df = stencil_matrix(imsize, d)
+    f32 = lambda a: np.asarray(a, dtype=np.float32)
+    return f32(s[None]), f32((imsize * df.T)[None]), \
+        f32((imsize * df)[None]), f32(s.T[None])

@@ -32,6 +32,28 @@ def test_pallas_cg_constant_k():
         np.testing.assert_allclose(u[b], np.tile(1 - x, (n, 1)), atol=1e-5)
 
 
+def test_pallas_cg_channelized_contrast(rng):
+    """Convergence guard at channelized contrast (K ratio 100, the hardest
+    family): the fixed-iteration PCG must match a tol-1e-8 XLA solve.
+
+    n_iter scales with grid size; 384 at n=16 corresponds to the production
+    1536 at n=64 (CG iterations grow ~linearly with 1/h).  The compiled
+    64x64 path is measured on TPU in docs/RESULTS.md (rel err vs tol-1e-8
+    XLA CG on 64 channelized fields).
+    """
+    from pde_surrogate_tpu.data.grf import sample_channelized
+    from pde_surrogate_tpu.solvers.fd_darcy import solve_darcy_batch
+
+    n = 16
+    K = jnp.asarray(sample_channelized(2, n, rng=rng))  # k_low/k_high = 0.01/1
+    assert float(K.max() / K.min()) == pytest.approx(100.0)
+    u_pal = np.asarray(solve_darcy_pallas(K, n_iter=384, interpret=True))
+    u_ref = np.asarray(solve_darcy_batch(K, tol=1e-8))[:, 0]  # u channel
+    err = (np.linalg.norm((u_pal - u_ref).reshape(2, -1), axis=1)
+           / np.linalg.norm(u_ref.reshape(2, -1), axis=1))
+    assert err.max() < 1e-4, err
+
+
 def test_pallas_cg_pad_remainder(rng):
     """Batch not divisible by fields_per_program pads then truncates."""
     n = 16
