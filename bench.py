@@ -27,12 +27,27 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from pde_surrogate_tpu.data.grf import sample_kle  # noqa: E402
+from pde_surrogate_tpu.data.pipeline import DeviceDataset  # noqa: E402
 from pde_surrogate_tpu.models.codec import DenseED  # noqa: E402
 from pde_surrogate_tpu.ops.filters import SobelFilter  # noqa: E402
 from pde_surrogate_tpu.train.codec_trainer import (  # noqa: E402
     create_state, make_mixed_residual_step)
 
 TORCH_CPU_SAMPLES_PER_SEC = 8.44  # measured reference baseline (see docstring)
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e (v5 lite) per-chip bf16 MXU peak
+
+
+def _step_flops(step, state, x) -> float:
+    """XLA-reported FLOPs for one compiled train step (fwd+bwd+Adam)."""
+    try:
+        cost = jax.jit(lambda s, b: step(s, b)).lower(state, x).compile() \
+            .cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception as e:  # cost model availability varies by backend
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+        return float("nan")
 
 
 def main():
@@ -56,7 +71,7 @@ def main():
         state, metrics = step(state, x)
     jax.block_until_ready(metrics["loss"])
 
-    # timed
+    # timed: resident-batch step time (the kernel-level number)
     n_steps = 100
     t0 = time.time()
     for _ in range(n_steps):
@@ -67,11 +82,41 @@ def main():
     print(f"[bench] {dt * 1e3:.2f} ms/step, {sps:.1f} samples/sec, "
           f"loss {float(metrics['loss']):.4f}", file=sys.stderr)
 
+    # achieved FLOP/s vs v5e peak ("actually fast, not merely faster than
+    # CPU-torch"): XLA cost model FLOPs / measured step time
+    flops = _step_flops(step, state, x)
+    tflops = flops / dt / 1e12
+    mfu = tflops * 1e12 / V5E_BF16_PEAK_FLOPS
+    print(f"[bench] {flops / 1e9:.2f} GFLOP/step -> {tflops:.1f} TFLOP/s "
+          f"({100 * mfu:.1f}% of v5e bf16 peak)", file=sys.stderr)
+
+    # driver-loop throughput: the epoch-as-one-program path the drivers use
+    # (shuffle-gather + step scanned inside one jit; one dispatch per epoch)
+    from pde_surrogate_tpu.train.codec_trainer import make_epoch_fn
+    n_data = 1024
+    xs = jnp.asarray(sample_kle(n_data, imsize, 512, rng=1)[..., None])
+    ds = DeviceDataset(xs, batch_size=batch, key=0)
+    epoch_fn = make_epoch_fn(step.core, ds.arrays)
+    state, em = epoch_fn(state, ds.epoch_indices(0))  # compile + warm
+    jax.block_until_ready(em["loss"])
+    t0 = time.time()
+    n_epochs = 3
+    for epoch in range(1, n_epochs + 1):
+        state, em = epoch_fn(state, ds.epoch_indices(epoch))
+    jax.block_until_ready(em["loss"])
+    driver_sps = n_epochs * len(ds) * batch / (time.time() - t0)
+    print(f"[bench] driver loop: {driver_sps:.1f} samples/sec "
+          f"(incl. shuffle+gather)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "codec_mixed_residual_train_samples_per_sec_per_chip",
         "value": round(sps, 2),
         "unit": "samples/sec",
         "vs_baseline": round(sps / TORCH_CPU_SAMPLES_PER_SEC, 2),
+        "gflop_per_step": round(flops / 1e9, 2),
+        "tflops_per_sec": round(tflops, 2),
+        "mfu_vs_v5e_bf16_peak": round(mfu, 4),
+        "driver_loop_samples_per_sec": round(driver_sps, 2),
     }))
 
 

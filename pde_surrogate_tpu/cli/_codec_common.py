@@ -28,8 +28,9 @@ from ..ops.filters import SobelFilter
 from ..parallel.mesh import batch_sharding, data_mesh, replicate
 from ..solvers.fd_darcy import solve_darcy_batch_fast
 from ..train.checkpoint import restore_checkpoint, save_checkpoint
-from ..train.codec_trainer import (create_state, current_lr, make_eval_step,
-                                   make_mixed_residual_step, make_mle_step)
+from ..train.codec_trainer import (create_state, current_lr, make_epoch_fn,
+                                   make_eval_step, make_mixed_residual_step,
+                                   make_mle_step)
 from ..utils.metrics import r2_score
 from ..viz.plot import plot_prediction_det, save_stats
 
@@ -206,21 +207,21 @@ def run_codec_training(args, loss_kind: str):
     jsonl = JsonlLogger(os.path.join(args.train_dir, "metrics.jsonl"))
     profile_epoch = getattr(args, "profile_epoch", 0)
 
+    # the WHOLE epoch is one device program: shuffle-gather + step scanned
+    # inside a single jit, so an epoch costs one dispatch over the tunnel
+    # (the per-step loop was host-dispatch-bound: 128 RPCs x ~1.6 ms steps)
+    epoch_fn = make_epoch_fn(train_step.core, train_ds.arrays, sharding)
+
     print("Start training..." + "." * 47)
     tic = time.time()
     for epoch in range(start_epoch, args.epochs + 1):
-        # keep per-step losses on device; one host sync per epoch (a per-step
-        # float() would cost a device round-trip every 1.6 ms step)
-        losses = []
         timer.start()
         with profile_trace(os.path.join(args.train_dir, "profile"),
                            enabled=(epoch == profile_epoch)):
-            for batch in train_ds.batches(epoch):
-                state, metrics = train_step(state, *batch)
-                losses.append(metrics["loss"])
-                timer.step()
-        loss_train = float(jnp.mean(jnp.stack(losses)))
-        rate = timer.result(fence=losses[-1])
+            state, metrics = epoch_fn(state, train_ds.epoch_indices(epoch))
+            timer.step(len(train_ds))
+        loss_train = float(jnp.mean(metrics["loss"]))
+        rate = timer.result(fence=metrics["loss"])
         print(f"Epoch {epoch}, lr {current_lr(state):.6f}, "
               f"{rate['samples_per_sec']:.0f} samples/sec")
         print(f"Epoch {epoch}: training loss: {loss_train:.6f}")

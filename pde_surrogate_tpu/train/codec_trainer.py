@@ -31,7 +31,7 @@ from ..utils.metrics import relative_l2, squared_error_sum
 from .schedules import one_cycle_schedule
 
 __all__ = ["CodecState", "create_state", "make_mixed_residual_step",
-           "make_mle_step", "make_eval_step", "current_lr"]
+           "make_mle_step", "make_eval_step", "make_epoch_fn", "current_lr"]
 
 
 class CodecState(NamedTuple):
@@ -83,9 +83,12 @@ def current_lr(state: CodecState) -> float:
 def make_mixed_residual_step(model, tx, sobel: SobelFilter,
                              weight_bound: float = 10.0,
                              nonlinear: str | None = None):
-    """Label-free physics-constrained step: batch is (K,) images only."""
+    """Label-free physics-constrained step: batch is (K,) images only.
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    The returned jitted step exposes the un-jitted body as ``.core`` so
+    ``make_epoch_fn`` can scan it.
+    """
+
     def step(state: CodecState, x):
         def loss_fn(params):
             output, mutated = model.apply(
@@ -104,13 +107,14 @@ def make_mixed_residual_step(model, tx, sobel: SobelFilter,
                    "loss_neumann": neum}
         return new_state, metrics
 
-    return step
+    jitted = jax.jit(step, donate_argnums=(0,))
+    jitted.core = step
+    return jitted
 
 
 def make_mle_step(model, tx):
     """Data-driven MSE step (train_codec_max_likelihood.py:201-213)."""
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: CodecState, x, y):
         def loss_fn(params):
             output, mutated = model.apply(
@@ -126,7 +130,44 @@ def make_mle_step(model, tx):
         new_state = CodecState(state.step + 1, params, bstats, opt_state)
         return new_state, {"loss": loss}
 
-    return step
+    jitted = jax.jit(step, donate_argnums=(0,))
+    jitted.core = step
+    return jitted
+
+
+def make_epoch_fn(step_core: Callable, arrays: tuple, sharding=None):
+    """One FULL epoch as a single device program.
+
+    ``lax.scan`` over per-step gather indices: shuffle-gather + forward +
+    physics loss + backward + Adam all fuse into one executable, so an epoch
+    costs ONE dispatch over the 30 ms-RTT tunnel instead of steps_per_epoch
+    (and the hot loop no longer stalls when the host CPU is busy).
+
+    Args:
+      step_core: un-jitted ``(state, *batch) -> (state, metrics)`` (the
+        ``.core`` of make_mixed_residual_step / make_mle_step).
+      arrays: device-resident dataset arrays (DeviceDataset.arrays).
+      sharding: optional batch NamedSharding — gathered batches are
+        constrained to it so the scanned step runs SPMD over the data mesh.
+
+    Returns:
+      jitted ``(state, idx) -> (state, metrics)`` with ``idx`` of shape
+      (steps_per_epoch, batch) from DeviceDataset.epoch_indices and metrics
+      stacked per step (fetch once per epoch).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_epoch(state: CodecState, idx):
+        def body(st, ix):
+            batch = tuple(jnp.take(a, ix, axis=0) for a in arrays)
+            if sharding is not None:
+                batch = tuple(jax.lax.with_sharding_constraint(b, sharding)
+                              for b in batch)
+            return step_core(st, *batch)
+
+        return jax.lax.scan(body, state, idx)
+
+    return run_epoch
 
 
 def make_eval_step(model, sobel: SobelFilter, weight_bound: float = 10.0,
