@@ -222,16 +222,18 @@ def main(argv=None):
             logger["nrmse_test"].append(relative_l2.tolist())
             logger["entropy_test"].append(-ent)
 
+    # whole epoch as one device program (see codec_trainer.make_epoch_fn):
+    # per-step keys fold the step counter, so the scanned epoch is bitwise
+    # identical to the per-step loop
+    from ..train.codec_trainer import make_epoch_fn
+    epoch_fn = make_epoch_fn(train_step.core, train_ds.arrays, sharding)
+
     print("Start training..." + "." * 54)
     tic = time.time()
     for epoch in range(start_epoch, args.epochs + 1):
-        # device-side loss accumulation: one host sync per epoch
-        losses = []
-        for (x,) in train_ds.batches(epoch):
-            state, metrics = train_step(state, x)
-            losses.append((metrics["loss"], metrics["neg_entropy"]))
-        loss_train = float(jnp.mean(jnp.stack([l for l, _ in losses])))
-        neg_ent = float(losses[-1][1])
+        state, metrics = epoch_fn(state, train_ds.epoch_indices(epoch))
+        loss_train = float(jnp.mean(metrics["loss"]))
+        neg_ent = float(metrics["neg_entropy"][-1])
         print(f"Epoch {epoch}: training loss: {loss_train:.6f}, "
               f"neg entropy {neg_ent:.6f}, lr {glow_lr(state):.6f}")
         if epoch % args.log_freq == 0:

@@ -91,9 +91,13 @@ def _variables(state: GlowState):
 
 def make_reverse_kl_step(model, tx, sobel: SobelFilter, beta: float,
                          weight_bound: float, n_out_pixels: int):
-    """Label-free reverse-KL step (train_cglow_reverse_kl.py:250-273)."""
+    """Label-free reverse-KL step (train_cglow_reverse_kl.py:250-273).
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    Per-step PRNG keys fold the step counter into the state's base key, so
+    the step is scannable (codec_trainer.make_epoch_fn) with bitwise-stable
+    randomness; the jitted step exposes the body as ``.core``.
+    """
+
     def step(state: GlowState, x):
         key = jax.random.fold_in(state.key, state.step)
 
@@ -122,7 +126,9 @@ def make_reverse_kl_step(model, tx, sobel: SobelFilter, beta: float,
                    "neg_entropy": neg_ent}
         return new_state, metrics
 
-    return step
+    jitted = jax.jit(step, donate_argnums=(0,))
+    jitted.core = step
+    return jitted
 
 
 def make_forward_kl_step(model, tx, n_out_pixels: int):
