@@ -161,7 +161,14 @@ def solve_darcy_batch(K_batch: jax.Array, tol: float = 1e-8,
 def solve_darcy_batch_fast(K_batch: jax.Array, n_iter: int = 1536) -> jax.Array:
     """TPU fast path: the in-VMEM Pallas PCG kernel (2.5x the XLA path on
     v5e; see ops/kernels/cg_darcy.py), with the XLA solver as fallback on
-    non-TPU backends."""
+    non-TPU backends.
+
+    ``n_iter=1536`` is sized for 64x64 grids at channelized contrast
+    (K ratio 100, the hardest shipped family): guarded by
+    tests/test_pallas_kernels.py::test_pallas_cg_channelized_contrast
+    (rel err < 1e-4 vs a tol-1e-8 solve at proportional iterations) and by
+    a compiled-path measurement on TPU (docs/RESULTS.md).  Scale n_iter
+    with the grid size (iterations grow ~linearly in 1/h)."""
     if jax.default_backend() != "tpu":
         return solve_darcy_batch(K_batch)
     from ..ops.kernels.cg_darcy import solve_darcy_pallas
