@@ -266,11 +266,14 @@ class WideCoupling(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # torch-default conv init, like the reference's _CouplingNN
+        from .codec import torch_conv_init
         x = nn.Conv(self.width, (3, 3), padding=1, use_bias=False,
-                    name="conv1")(x)
+                    kernel_init=torch_conv_init, name="conv1")(x)
         x = ActNorm(self.width, return_logdet=False, name="norm1")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.width, (1, 1), use_bias=False, name="conv2")(x)
+        x = nn.Conv(self.width, (1, 1), use_bias=False,
+                    kernel_init=torch_conv_init, name="conv2")(x)
         x = ActNorm(self.width, return_logdet=False, name="norm2")(x)
         x = nn.relu(x)
         return Conv2dZeros(self.out_features, name="conv3")(x)

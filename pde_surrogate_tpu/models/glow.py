@@ -81,8 +81,10 @@ class DenseBlockInput(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from .codec import torch_conv_init
         out = nn.Conv(self.init_features - 1, (3, 3), padding=1,
-                      use_bias=True, name="in_conv")(x)
+                      use_bias=True, kernel_init=torch_conv_init,
+                      name="in_conv")(x)
         out = jnp.concatenate([x, out], axis=-1)
         for i in range(self.num_layers - 1):
             out = DenseLayer(self.growth_rate, self.drop_rate, bn_size=4,
