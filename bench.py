@@ -61,26 +61,27 @@ def main():
                              total_steps=100_000)
     step = make_mixed_residual_step(model, tx, SobelFilter(imsize), 10.0)
 
-    # compile + warmup
+    # compile + warmup.  NOTE: fences are VALUE FETCHES throughout —
+    # jax.block_until_ready is a no-op on the axon remote platform.
     t0 = time.time()
     state, metrics = step(state, x)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     print(f"[bench] compile+first step: {time.time() - t0:.1f}s",
           file=sys.stderr)
     for _ in range(20):
         state, metrics = step(state, x)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     # timed: resident-batch step time (the kernel-level number)
     n_steps = 100
     t0 = time.time()
     for _ in range(n_steps):
         state, metrics = step(state, x)
-    jax.block_until_ready(metrics["loss"])
+    loss_val = float(metrics["loss"])  # fence
     dt = (time.time() - t0) / n_steps
     sps = batch / dt
     print(f"[bench] {dt * 1e3:.2f} ms/step, {sps:.1f} samples/sec, "
-          f"loss {float(metrics['loss']):.4f}", file=sys.stderr)
+          f"loss {loss_val:.4f}", file=sys.stderr)
 
     # achieved FLOP/s vs v5e peak ("actually fast, not merely faster than
     # CPU-torch"): XLA cost model FLOPs / measured step time
@@ -90,20 +91,22 @@ def main():
     print(f"[bench] {flops / 1e9:.2f} GFLOP/step -> {tflops:.1f} TFLOP/s "
           f"({100 * mfu:.1f}% of v5e bf16 peak)", file=sys.stderr)
 
-    # driver-loop throughput: the epoch-as-one-program path the drivers use
-    # (shuffle-gather + step scanned inside one jit; one dispatch per epoch)
-    from pde_surrogate_tpu.train.codec_trainer import make_epoch_fn
+    # driver-loop throughput: the drivers' default hot loop (eager per-step
+    # over a DeviceDataset, one value-fetch fence per epoch)
     n_data = 1024
     xs = jnp.asarray(sample_kle(n_data, imsize, 512, rng=1)[..., None])
     ds = DeviceDataset(xs, batch_size=batch, key=0)
-    epoch_fn = make_epoch_fn(step.core, ds.arrays)
-    state, em = epoch_fn(state, ds.epoch_indices(0))  # compile + warm
-    jax.block_until_ready(em["loss"])
+    for (xb,) in ds.batches(0):  # warm the gather shapes
+        state, em = step(state, xb)
+    float(em["loss"])
     t0 = time.time()
     n_epochs = 3
     for epoch in range(1, n_epochs + 1):
-        state, em = epoch_fn(state, ds.epoch_indices(epoch))
-    jax.block_until_ready(em["loss"])
+        losses = []
+        for (xb,) in ds.batches(epoch):
+            state, em = step(state, xb)
+            losses.append(em["loss"])
+        float(jnp.mean(jnp.stack(losses)))  # per-epoch fence, as the driver
     driver_sps = n_epochs * len(ds) * batch / (time.time() - t0)
     print(f"[bench] driver loop: {driver_sps:.1f} samples/sec "
           f"(incl. shuffle+gather)", file=sys.stderr)

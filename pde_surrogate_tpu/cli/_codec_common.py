@@ -175,24 +175,28 @@ def run_codec_training(args, loss_kind: str):
               "nrmse_test": []}
 
     def test(epoch, state):
-        loss_sum, rel, sse = 0.0, [], []
+        # accumulate on device; ONE host sync per eval (per-batch float()
+        # and per-batch output fetches cost ~8 round-trips + 50 MB/epoch)
+        losses, rel, sse = [], [], []
         plot_batch = None
+        want_plot = (not args.no_plot
+                     and (epoch % args.plot_freq == 0 or epoch == args.epochs))
         for x, y in test_ds.batches(epoch):
             out = eval_step(state, x, y)
-            loss_sum += float(out["loss"])
-            rel.append(np.asarray(out["rel_l2"]))
-            sse.append(np.asarray(out["sse"]))
-            plot_batch = (np.asarray(y), np.asarray(out["output"]))
-        loss_test = loss_sum / len(test_ds)
-        relative_l2 = np.concatenate(rel, 0).mean(0)
-        r2 = np.asarray(r2_score(jnp.asarray(np.concatenate(sse, 0).sum(0)),
+            losses.append(out["loss"])
+            rel.append(out["rel_l2"])
+            sse.append(out["sse"])
+            if want_plot:
+                plot_batch = (y, out["output"])  # device refs, fetched below
+        loss_test = float(jnp.mean(jnp.stack(losses)))
+        relative_l2 = np.asarray(jnp.concatenate(rel, 0).mean(0))
+        r2 = np.asarray(r2_score(jnp.concatenate(sse, 0).sum(0),
                                  jnp.asarray(y_variation)))
         print(f"Epoch {epoch}: test r2-score: {r2}")
         print(f"Epoch {epoch}: test relative-l2: {relative_l2}")
-        if (not args.no_plot and plot_batch is not None
-                and (epoch % args.plot_freq == 0 or epoch == args.epochs)):
+        if want_plot and plot_batch is not None:
             n_samples = 6 if epoch == args.epochs else 2
-            y_np, out_np = plot_batch
+            y_np, out_np = np.asarray(plot_batch[0]), np.asarray(plot_batch[1])
             idx = np.random.permutation(len(y_np))[:n_samples]
             for i in idx:
                 plot_prediction_det(args.pred_dir, y_np[i], out_np[i], epoch,
@@ -207,10 +211,18 @@ def run_codec_training(args, loss_kind: str):
     jsonl = JsonlLogger(os.path.join(args.train_dir, "metrics.jsonl"))
     profile_epoch = getattr(args, "profile_epoch", 0)
 
-    # the WHOLE epoch is one device program: shuffle-gather + step scanned
-    # inside a single jit, so an epoch costs one dispatch over the tunnel
-    # (the per-step loop was host-dispatch-bound: 128 RPCs x ~1.6 ms steps)
-    epoch_fn = make_epoch_fn(train_step.core, train_ds.arrays, sharding)
+    # hot loop: eager per-step dispatch with one value-fetch per epoch.
+    # Measured on this axon v5e: the per-step executable runs ~1.6 ms/step
+    # (~20k samples/sec) while the same step scanned inside one program
+    # (make_epoch_fn) runs ~6.8 ms/step — the XLA while-loop body executes
+    # slower on this runtime, and async dispatch already pipelines the
+    # eager steps, so per-step dispatch wins.  --scan-epochs opts into the
+    # one-dispatch-per-epoch program (useful when the host/tunnel, not the
+    # device, is the bottleneck).  NOTE: block_until_ready is a no-op on
+    # the axon platform — only value fetches (float/np.asarray) fence.
+    scan_epochs = bool(getattr(args, "scan_epochs", False))
+    if scan_epochs:
+        epoch_fn = make_epoch_fn(train_step.core, sharding)
 
     print("Start training..." + "." * 47)
     tic = time.time()
@@ -218,10 +230,19 @@ def run_codec_training(args, loss_kind: str):
         timer.start()
         with profile_trace(os.path.join(args.train_dir, "profile"),
                            enabled=(epoch == profile_epoch)):
-            state, metrics = epoch_fn(state, train_ds.epoch_indices(epoch))
+            if scan_epochs:
+                state, metrics = epoch_fn(
+                    state, train_ds.epoch_indices(epoch), *train_ds.arrays)
+                losses = metrics["loss"]
+            else:
+                step_losses = []
+                for batch in train_ds.batches(epoch):
+                    state, metrics = train_step(state, *batch)
+                    step_losses.append(metrics["loss"])
+                losses = jnp.stack(step_losses)
             timer.step(len(train_ds))
-        loss_train = float(jnp.mean(metrics["loss"]))
-        rate = timer.result(fence=metrics["loss"])
+        loss_train = float(jnp.mean(losses))  # the real epoch fence
+        rate = timer.result()
         print(f"Epoch {epoch}, lr {current_lr(state):.6f}, "
               f"{rate['samples_per_sec']:.0f} samples/sec")
         print(f"Epoch {epoch}: training loss: {loss_train:.6f}")

@@ -68,6 +68,8 @@ class Parser(BaseParser):
         self.add_argument("--test-batch-size", type=int, default=64)
         self.add_argument("--seed", type=int, default=1)
         self.add_argument("--n-devices", type=int, default=None)
+        self.add_argument("--scan-epochs", action="store_true", default=False,
+                          help="run each epoch as ONE device program")
         self.add_argument("--resume", action="store_true", default=False)
         self.add_logging_args(ckpt_freq=25, log_freq=1, plot_freq=25)
 
@@ -222,18 +224,30 @@ def main(argv=None):
             logger["nrmse_test"].append(relative_l2.tolist())
             logger["entropy_test"].append(-ent)
 
-    # whole epoch as one device program (see codec_trainer.make_epoch_fn):
-    # per-step keys fold the step counter, so the scanned epoch is bitwise
-    # identical to the per-step loop
-    from ..train.codec_trainer import make_epoch_fn
-    epoch_fn = make_epoch_fn(train_step.core, train_ds.arrays, sharding)
+    # eager per-step hot loop by default (see _codec_common for the axon
+    # measurement); --scan-epochs runs each epoch as one device program —
+    # bitwise identical because per-step keys fold the step counter
+    if args.scan_epochs:
+        from ..train.codec_trainer import make_epoch_fn
+        epoch_fn = make_epoch_fn(train_step.core, sharding)
 
     print("Start training..." + "." * 54)
     tic = time.time()
     for epoch in range(start_epoch, args.epochs + 1):
-        state, metrics = epoch_fn(state, train_ds.epoch_indices(epoch))
-        loss_train = float(jnp.mean(metrics["loss"]))
-        neg_ent = float(metrics["neg_entropy"][-1])
+        if args.scan_epochs:
+            state, metrics = epoch_fn(state, train_ds.epoch_indices(epoch),
+                                      *train_ds.arrays)
+            loss_stack, ent_stack = metrics["loss"], metrics["neg_entropy"]
+        else:
+            step_metrics = []
+            for (x,) in train_ds.batches(epoch):
+                state, metrics = train_step(state, x)
+                step_metrics.append((metrics["loss"],
+                                     metrics["neg_entropy"]))
+            loss_stack = jnp.stack([m for m, _ in step_metrics])
+            ent_stack = jnp.stack([e for _, e in step_metrics])
+        loss_train = float(jnp.mean(loss_stack))
+        neg_ent = float(ent_stack[-1])
         print(f"Epoch {epoch}: training loss: {loss_train:.6f}, "
               f"neg entropy {neg_ent:.6f}, lr {glow_lr(state):.6f}")
         if epoch % args.log_freq == 0:

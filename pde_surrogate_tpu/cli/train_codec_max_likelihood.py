@@ -45,6 +45,8 @@ class Parser(BaseParser):
         self.add_argument("--n-devices", type=int, default=None)
         self.add_argument("--find-lr", action="store_true", default=False,
                           help="run the LR-range test instead of training")
+        self.add_argument("--scan-epochs", action="store_true", default=False,
+                          help="run each epoch as ONE device program")
         self.add_logging_args(ckpt_freq=100, log_freq=1, plot_freq=50)
 
     def parse(self, argv=None):

@@ -58,6 +58,10 @@ class Parser(BaseParser):
         self.add_argument("--find-lr", action="store_true", default=False,
                           help="run the LR-range test instead of training "
                                "(utils/practices.py:45-83)")
+        self.add_argument("--scan-epochs", action="store_true", default=False,
+                          help="run each epoch as ONE device program "
+                               "(1 dispatch/epoch; use when the host or "
+                               "tunnel, not the chip, is the bottleneck)")
         self.add_logging_args(ckpt_freq=100, log_freq=1, plot_freq=50)
 
     def parse(self, argv=None):

@@ -135,7 +135,7 @@ def make_mle_step(model, tx):
     return jitted
 
 
-def make_epoch_fn(step_core: Callable, arrays: tuple, sharding=None):
+def make_epoch_fn(step_core: Callable, sharding=None):
     """One FULL epoch as a single device program.
 
     ``lax.scan`` over per-step gather indices: shuffle-gather + forward +
@@ -143,29 +143,46 @@ def make_epoch_fn(step_core: Callable, arrays: tuple, sharding=None):
     costs ONE dispatch over the 30 ms-RTT tunnel instead of steps_per_epoch
     (and the hot loop no longer stalls when the host CPU is busy).
 
+    The dataset arrays are explicit jit ARGUMENTS, never closure captures:
+    captured device arrays are serialized as constants into the remote
+    compile payload (multi-100MB requests hit the tunnel's HTTP length
+    limit) and re-shipped with dispatches.
+
     Args:
       step_core: un-jitted ``(state, *batch) -> (state, metrics)`` (the
         ``.core`` of make_mixed_residual_step / make_mle_step).
-      arrays: device-resident dataset arrays (DeviceDataset.arrays).
       sharding: optional batch NamedSharding — gathered batches are
         constrained to it so the scanned step runs SPMD over the data mesh.
 
     Returns:
-      jitted ``(state, idx) -> (state, metrics)`` with ``idx`` of shape
-      (steps_per_epoch, batch) from DeviceDataset.epoch_indices and metrics
+      jitted ``(state, idx, *arrays) -> (state, metrics)`` with ``idx`` of
+      shape (steps_per_epoch, batch) from DeviceDataset.epoch_indices,
+      ``arrays`` the device-resident DeviceDataset.arrays, and metrics
       stacked per step (fetch once per epoch).
     """
 
+    if sharding is not None:
+        # batch axis of the (steps, batch, ...) epoch tensor
+        from jax.sharding import NamedSharding, PartitionSpec
+        epoch_sharding = NamedSharding(sharding.mesh,
+                                       PartitionSpec(None, *sharding.spec))
+
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_epoch(state: CodecState, idx):
-        def body(st, ix):
-            batch = tuple(jnp.take(a, ix, axis=0) for a in arrays)
-            if sharding is not None:
-                batch = tuple(jax.lax.with_sharding_constraint(b, sharding)
-                              for b in batch)
+    def run_epoch(state: CodecState, idx, *arrays):
+        # ONE epoch-sized gather up front, then scan slices it natively —
+        # a per-iteration gather over the full dataset measured ~5 ms/step
+        # at 64x64 (it scaled with dataset size, not model FLOPs)
+        epoch = tuple(
+            jnp.take(a, idx.reshape(-1), axis=0)
+            .reshape(idx.shape + a.shape[1:]) for a in arrays)
+        if sharding is not None:
+            epoch = tuple(jax.lax.with_sharding_constraint(e, epoch_sharding)
+                          for e in epoch)
+
+        def body(st, batch):
             return step_core(st, *batch)
 
-        return jax.lax.scan(body, state, idx)
+        return jax.lax.scan(body, state, epoch)
 
     return run_epoch
 

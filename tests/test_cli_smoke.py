@@ -120,6 +120,21 @@ def test_codec_dp_driver_cli(tmp_path):
     assert np.isfinite(logger["nrmse_test"]).all()
 
 
+def test_codec_scan_epochs_cli(tmp_path):
+    """--scan-epochs (one device program per epoch) trains identically."""
+    from pde_surrogate_tpu.cli.train_codec_mixed_residual import main
+    base = [
+        "--ntrain", "16", "--ntest", "8", "--batch-size", "8",
+        "--test-batch-size", "8", "--imsize", "16", "--epochs", "2",
+        "--blocks", "1,2,1", "--growth-rate", "4", "--init-features", "8"]
+    state, logger = main(_common(tmp_path, base + ["--run", "1"]))
+    state2, logger2 = main(_common(tmp_path, base + ["--run", "2",
+                                                     "--scan-epochs"]))
+    # same data stream + same init seed => identical training losses
+    np.testing.assert_allclose(logger2["loss_train"], logger["loss_train"],
+                               rtol=1e-5)
+
+
 def test_find_lr_cli(tmp_path):
     """--find-lr runs the LR-range test and writes find_lr.{txt,pdf}."""
     from pde_surrogate_tpu.cli.train_codec_mixed_residual import main
