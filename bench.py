@@ -91,22 +91,20 @@ def main():
     print(f"[bench] {flops / 1e9:.2f} GFLOP/step -> {tflops:.1f} TFLOP/s "
           f"({100 * mfu:.1f}% of v5e bf16 peak)", file=sys.stderr)
 
-    # driver-loop throughput: the drivers' default hot loop (eager per-step
-    # over a DeviceDataset, one value-fetch fence per epoch)
+    # driver-loop throughput: the drivers' default hot loop (each epoch is
+    # one device program; one value-fetch fence per epoch)
+    from pde_surrogate_tpu.train.codec_trainer import make_epoch_fn
     n_data = 1024
     xs = jnp.asarray(sample_kle(n_data, imsize, 512, rng=1)[..., None])
     ds = DeviceDataset(xs, batch_size=batch, key=0)
-    for (xb,) in ds.batches(0):  # warm the gather shapes
-        state, em = step(state, xb)
-    float(em["loss"])
+    epoch_fn = make_epoch_fn(step.core)
+    state, em = epoch_fn(state, ds.epoch_indices(0), *ds.arrays)  # compile
+    float(jnp.mean(em["loss"]))
     t0 = time.time()
     n_epochs = 3
     for epoch in range(1, n_epochs + 1):
-        losses = []
-        for (xb,) in ds.batches(epoch):
-            state, em = step(state, xb)
-            losses.append(em["loss"])
-        float(jnp.mean(jnp.stack(losses)))  # per-epoch fence, as the driver
+        state, em = epoch_fn(state, ds.epoch_indices(epoch), *ds.arrays)
+        float(jnp.mean(em["loss"]))  # per-epoch fence, as the driver
     driver_sps = n_epochs * len(ds) * batch / (time.time() - t0)
     print(f"[bench] driver loop: {driver_sps:.1f} samples/sec "
           f"(incl. shuffle+gather)", file=sys.stderr)

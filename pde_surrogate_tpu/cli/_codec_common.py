@@ -120,11 +120,12 @@ def run_codec_training(args, loss_kind: str):
     mesh = data_mesh(args.n_devices) if args.n_devices else None
     sharding = batch_sharding(mesh) if mesh else None
 
+    dtype = jnp.bfloat16 if getattr(args, "dtype", "f32") == "bf16" else None
     model = DenseED(in_channels=1, out_channels=3, imsize=args.imsize,
                     blocks=args.blocks, growth_rate=args.growth_rate,
                     init_features=args.init_features,
                     drop_rate=args.drop_rate, out_activation=None,
-                    upsample=args.upsample)
+                    upsample=args.upsample, dtype=dtype)
 
     train_file, test_file = resolve_dataset_files(
         args, need_train_output=(loss_kind == "mle"))
@@ -211,16 +212,15 @@ def run_codec_training(args, loss_kind: str):
     jsonl = JsonlLogger(os.path.join(args.train_dir, "metrics.jsonl"))
     profile_epoch = getattr(args, "profile_epoch", 0)
 
-    # hot loop: eager per-step dispatch with one value-fetch per epoch.
-    # Measured on this axon v5e: the per-step executable runs ~1.6 ms/step
-    # (~20k samples/sec) while the same step scanned inside one program
-    # (make_epoch_fn) runs ~6.8 ms/step — the XLA while-loop body executes
-    # slower on this runtime, and async dispatch already pipelines the
-    # eager steps, so per-step dispatch wins.  --scan-epochs opts into the
-    # one-dispatch-per-epoch program (useful when the host/tunnel, not the
-    # device, is the bottleneck).  NOTE: block_until_ready is a no-op on
-    # the axon platform — only value fetches (float/np.asarray) fence.
-    scan_epochs = bool(getattr(args, "scan_epochs", False))
+    # hot loop: each epoch is ONE device program by default.  Honest
+    # (value-fetch-fenced) measurements on this axon v5e: the scanned and
+    # eager step bodies both run ~6.7 ms/step, but the eager DeviceDataset
+    # loop pays ~50 ms/step in per-dispatch round-trips over the tunnel —
+    # the scan is ~7x faster end-to-end.  --no-scan-epochs keeps the eager
+    # loop (equivalence guarded by test_codec_scan_epochs_cli).  NOTE:
+    # block_until_ready is a no-op on the axon platform — only value
+    # fetches (float/np.asarray) fence.
+    scan_epochs = bool(getattr(args, "scan_epochs", True))
     if scan_epochs:
         epoch_fn = make_epoch_fn(train_step.core, sharding)
 

@@ -39,14 +39,18 @@ class Parser(BaseParser):
         self.add_argument("--weight-decay", type=float, default=0.0)
         self.add_argument("--weight-bound", type=float, default=10.0,
                           help="used only in the physics test loss")
+        self.add_argument("--dtype", type=str, default="f32",
+                          choices=["f32", "bf16"],
+                          help="conv compute dtype (params stay f32)")
         self.add_argument("--batch-size", type=int, default=32)
         self.add_argument("--test-batch-size", type=int, default=64)
         self.add_argument("--seed", type=int, default=1)
         self.add_argument("--n-devices", type=int, default=None)
         self.add_argument("--find-lr", action="store_true", default=False,
                           help="run the LR-range test instead of training")
-        self.add_argument("--scan-epochs", action="store_true", default=False,
-                          help="run each epoch as ONE device program")
+        self.add_argument("--no-scan-epochs", dest="scan_epochs",
+                          action="store_false", default=True,
+                          help="use the eager per-step hot loop")
         self.add_logging_args(ckpt_freq=100, log_freq=1, plot_freq=50)
 
     def parse(self, argv=None):

@@ -121,7 +121,8 @@ def test_codec_dp_driver_cli(tmp_path):
 
 
 def test_codec_scan_epochs_cli(tmp_path):
-    """--scan-epochs (one device program per epoch) trains identically."""
+    """The default scan-epoch program and --no-scan-epochs eager loop train
+    identically (same data stream, same init)."""
     from pde_surrogate_tpu.cli.train_codec_mixed_residual import main
     base = [
         "--ntrain", "16", "--ntest", "8", "--batch-size", "8",
@@ -129,8 +130,7 @@ def test_codec_scan_epochs_cli(tmp_path):
         "--blocks", "1,2,1", "--growth-rate", "4", "--init-features", "8"]
     state, logger = main(_common(tmp_path, base + ["--run", "1"]))
     state2, logger2 = main(_common(tmp_path, base + ["--run", "2",
-                                                     "--scan-epochs"]))
-    # same data stream + same init seed => identical training losses
+                                                     "--no-scan-epochs"]))
     np.testing.assert_allclose(logger2["loss_train"], logger["loss_train"],
                                rtol=1e-5)
 
