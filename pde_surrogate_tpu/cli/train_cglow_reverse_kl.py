@@ -177,30 +177,31 @@ def main(argv=None):
     def test(epoch, state):
         # entropy is the batch mean (the reference logged only the last
         # batch's — and in fact the *training* loop's, a real bug:
-        # train_cglow_reverse_kl.py:177,185)
-        loss_sum, rel, sse, ent_sum = 0.0, [], [], 0.0
+        # train_cglow_reverse_kl.py:177,185).  Accumulate on device; one
+        # host sync per eval (per-batch float() costs a tunnel round-trip).
+        losses, ents, rel, sse = [], [], [], []
         plot_batch = None
         step_fn = eval_mean if epoch % 10 == 0 else eval_one
         for i, (x, y) in enumerate(test_ds.batches(epoch)):
             key = jax.random.fold_in(jax.random.key(args.seed + 7),
                                      epoch * 1000 + i)
             out = step_fn(state, x, y, key)
-            loss_sum += float(out["loss"])
-            ent_sum += float(out["neg_entropy"])
-            rel.append(np.asarray(out["rel_l2"]))
-            sse.append(np.asarray(out["sse"]))
+            losses.append(out["loss"])
+            ents.append(out["neg_entropy"])
+            rel.append(out["rel_l2"])
+            sse.append(out["sse"])
             if i == 0:
-                plot_batch = (np.asarray(x), np.asarray(y))
-        loss_test = loss_sum / len(test_ds)
-        ent = ent_sum / len(test_ds)
-        relative_l2 = np.concatenate(rel, 0).mean(0)
-        r2 = np.asarray(r2_score(jnp.asarray(np.concatenate(sse, 0).sum(0)),
+                plot_batch = (x, y)  # device refs; fetched only if plotting
+        loss_test = float(jnp.mean(jnp.stack(losses)))
+        ent = float(jnp.mean(jnp.stack(ents)))
+        relative_l2 = np.asarray(jnp.concatenate(rel, 0).mean(0))
+        r2 = np.asarray(r2_score(jnp.concatenate(sse, 0).sum(0),
                                  jnp.asarray(y_variation)))
         print(f"Epoch {epoch}: test r2-score: {r2}")
         print(f"Epoch {epoch}: test relative l2: {relative_l2}")
         if (not args.no_plot and plot_batch is not None
                 and (epoch % args.plot_freq == 0 or epoch == args.epochs)):
-            x_np, y_np = plot_batch
+            x_np, y_np = np.asarray(plot_batch[0]), np.asarray(plot_batch[1])
             n_show = 6 if epoch == args.epochs else 2
             idx = np.random.permutation(len(x_np))[:n_show]
             for i in idx:
