@@ -102,6 +102,24 @@ def test_data_init_actnorm_changes_params():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_propagate_scan_properties():
+    """The single-program propagate: deterministic in the key, variance
+    outputs nonnegative, and invariant to the chunking batch size."""
+    model, state, tx, x, y, n = _setup()
+    s = GlowSurrogate(model, state, n_samples=3, temperature=1.0)
+    mc = np.asarray(jnp.concatenate([x, x], 0))  # 16 inputs
+    key = jax.random.key(9)
+    a = s.propagate(mc, key, var_samples=2, batch_size=8)
+    b = s.propagate(mc, key, var_samples=2, batch_size=8)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+    ee, ve, ev, vv = (np.asarray(t) for t in a)
+    assert ee.shape == (n, n, 3)
+    assert np.isfinite(ee).all()
+    assert (ve >= 0).all() and (vv >= 0).all()
+    assert (ev >= -1e-5).all()  # E[y^2]-E[y]^2 up to rounding
+
+
 def test_glow_surrogate_and_uq(tmp_path):
     model, state, tx, x, y, n = _setup()
     s = GlowSurrogate(model, state, n_samples=3, temperature=1.0)
