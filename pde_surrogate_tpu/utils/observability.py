@@ -27,7 +27,14 @@ __all__ = ["StepTimer", "profile_trace", "debug_nans", "JsonlLogger"]
 
 
 class StepTimer:
-    """Throughput meter; fences the device before reading the clock."""
+    """Throughput meter.
+
+    ``fence`` accepts any array to block on, but note that
+    ``jax.block_until_ready`` is a NO-OP on the axon remote platform
+    (docs/DESIGN.md section 8) — callers there must fence with a value
+    fetch (``float(loss)``) before calling ``result()``, which is what the
+    drivers do.
+    """
 
     def __init__(self, batch_size: int):
         self.batch_size = batch_size
