@@ -199,8 +199,12 @@ class UQCondGlow:
         preds, targets = [], []
         for b, (x, y) in enumerate(self._batches(self.mc_x, self.mc_y)):
             key = jax.random.fold_in(self.key, 555 + b)
-            s = np.asarray(self.s.sample(x, key))      # (S, B, H, W, C)
-            preds.append(s[:, :, idx[:, 0], idx[:, 1], :].mean(axis=0))
+            s = self.s.sample(x, key)                  # (S, B, H, W, C)
+            # gather the probe pixels on device; fetch only (B, n_loc, C)
+            # (fetching the full sample tensor cost ~60 MB/batch over the
+            # tunnel)
+            at_loc = s[:, :, idx[:, 0], idx[:, 1], :].mean(axis=0)
+            preds.append(np.asarray(at_loc))
             targets.append(y[:, idx[:, 0], idx[:, 1], :])
         pred = np.concatenate(preds, 0)                # (M, n_loc, C)
         target = np.concatenate(targets, 0)
@@ -232,16 +236,20 @@ class UQCondGlow:
         (utils/uq.py:195-241)."""
         p_list = np.linspace(0.01, 0.99, 10)
         n_channels = self.mc_y.shape[-1]
+        # predict once per batch (the reference re-samples the surrogate for
+        # every p — 10x redundant, utils/uq.py:203-223), then sweep p on host
+        stats = []
+        for b, (x, y) in enumerate(self._batches(self.mc_x, self.mc_y)):
+            if save_time and b > 4:
+                continue
+            key = jax.random.fold_in(self.key, 777 + b)
+            mean, var = self.s.predict(x, key)
+            stats.append((np.asarray(mean), np.sqrt(np.asarray(var)), y))
         freq = []
         for p in p_list:
             count = np.zeros(n_channels)
             numels = 0
-            for b, (x, y) in enumerate(self._batches(self.mc_x, self.mc_y)):
-                if save_time and b > 4:
-                    continue
-                key = jax.random.fold_in(self.key, 777 + b)
-                mean, var = self.s.predict(x, key)
-                mean, std = np.asarray(mean), np.sqrt(np.asarray(var))
+            for mean, std, y in stats:
                 lo, hi = scipy_norm.interval(p, loc=mean, scale=std)
                 count += ((y >= lo) & (y <= hi)).sum(axis=(0, 1, 2))
                 numels += y.size / n_channels
