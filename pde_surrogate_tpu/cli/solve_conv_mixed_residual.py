@@ -197,9 +197,22 @@ def main(argv=None):
 
     print("start training...")
     tic = time.time()
+    # divergence guard: torch-style fixed-step L-BFGS can overshoot and go
+    # NaN on this objective (the reference leaves recovery to the user);
+    # restart from the best-seen params with fresh curvature memory.
+    best_loss, best_params = float("inf"), params
     for epoch in range(1, args.epochs + 1):
         params, opt_state, loss = epoch_fn(params, opt_state)
         loss = float(loss)
+        if not np.isfinite(loss) or loss > 100.0 * max(best_loss, 1e-12):
+            print(f"epoch {epoch}: diverged (loss {loss}); restarting from "
+                  f"best ({best_loss:.6f}) with reset L-BFGS memory")
+            params = best_params
+            opt_state = opt.init(params)
+            logger["loss"].append(best_loss)
+            continue
+        if loss < best_loss:
+            best_loss, best_params = loss, params
         logger["loss"].append(loss)
         print(f"epoch {epoch}: loss {loss:.6f}")
         if epoch % args.ckpt_freq == 0:
