@@ -33,14 +33,14 @@ RUN=$(ls -d experiments/cglow/reverse_kld/kle100_ntrain4096_* | head -1)
 $D -m pde_surrogate_tpu.cli.post_cglow --run-dir "$RUN" \
   > $L/post_cglow_kle100.log 2>&1
 
-# long-schedule codec: 1000 epochs, 5x5 stencil (the "beat" run)
-$D -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
-  --ntrain 4096 --ntest 512 --epochs 1000 --seed 1 --run 5 --sobel-size 5 \
-  > $L/canon_kle512_run5_1000ep.log 2>&1
+# solve_conv re-run with the divergence guard (first attempt went NaN)
+$D -m pde_surrogate_tpu.cli.solve_conv_mixed_residual \
+  --data grf --kle 1024 --idx 8 --epochs 500 \
+  > $L/solve_conv_kle1024_retry.log 2>&1
 
-# bilinear-upsample probe (reference flag)
+# extended-schedule codec (sized to fit the round), 5x5 stencil
 $D -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
-  --ntrain 4096 --ntest 512 --epochs 300 --seed 1 --run 6 --sobel-size 5 \
-  --upsample bilinear > $L/canon_kle512_run6_bilinear.log 2>&1
+  --ntrain 4096 --ntest 512 --epochs 400 --seed 1 --run 5 --sobel-size 5 \
+  > $L/canon_kle512_run5_400ep.log 2>&1
 
 echo done > $L/campaign_r2b.done
