@@ -159,9 +159,12 @@ def solve_darcy_batch(K_batch: jax.Array, tol: float = 1e-8,
 
 
 def solve_darcy_batch_fast(K_batch: jax.Array, n_iter: int = 1536) -> jax.Array:
-    """TPU fast path: the in-VMEM Pallas PCG kernel (2.5x the XLA path on
-    v5e; see ops/kernels/cg_darcy.py), with the XLA solver as fallback on
-    non-TPU backends.
+    """TPU fast path: the in-VMEM Pallas PCG kernel (ops/kernels/cg_darcy.py)
+    with the XLA solver as fallback on non-TPU backends.  Honest
+    (fetch-fenced) timing on v5e is parity with the XLA CG path (35.4 vs
+    31.5 ms/batch64 @ 64x64); the kernel keeps the whole iteration in VMEM
+    (one HBM read of K, one write of u per field) and is the in-framework
+    pattern for bandwidth-bound iterative solvers.
 
     ``n_iter=1536`` is sized for 64x64 grids at channelized contrast
     (K ratio 100, the hardest shipped family): guarded by
