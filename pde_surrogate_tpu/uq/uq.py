@@ -44,36 +44,32 @@ class GlowSurrogate:
 
         self._sample = jax.jit(_sample)
 
-        def _propagate(x, key, var_samples: int):
-            """Full MC propagation in ONE device program.
+        def _propagate_one(x, key):
+            """One var_sample's MC sweep: scan over chunks in ONE program.
 
-            x: (n_chunks, B, H, W, C).  One lax.scan step = one (chunk,
-            var_sample) pair, so peak memory stays at n_samples x B fields
-            while the 30 ms-RTT tunnel sees a single dispatch (the
-            reference's double loop was var_samples x n_batches dispatches,
-            models/glow_msc.py:939-968).
+            x: (n_chunks, B, H, W, C).  One lax.scan step = one chunk, so
+            peak memory stays at n_samples x B fields and the tunnel sees
+            one dispatch per var_sample (the reference's double loop was
+            var_samples x n_batches dispatches, models/glow_msc.py:939-968).
+            A single program over ALL (chunk, var_sample) pairs ran minutes
+            and crashed the remote TPU worker — keep programs O(seconds).
             """
             n_chunks = x.shape[0]
             field = x.shape[2:4] + (model.y_channels,)
 
             def step(carry, t):
-                v, c = t // n_chunks, t % n_chunks
-                xb = jax.lax.dynamic_index_in_dim(x, c, 0, keepdims=False)
+                xb = jax.lax.dynamic_index_in_dim(x, t, 0, keepdims=False)
                 s = _sample(xb, jax.random.fold_in(key, t))
                 ey, eyy = carry
-                ey = ey.at[v].add(s.mean(axis=(0, 1)))
-                eyy = eyy.at[v].add((s * s).mean(axis=(0, 1)))
-                return (ey, eyy), None
+                return (ey + s.mean(axis=(0, 1)),
+                        eyy + (s * s).mean(axis=(0, 1))), None
 
-            init = (jnp.zeros((var_samples,) + field),
-                    jnp.zeros((var_samples,) + field))
-            (ey, eyy), _ = jax.lax.scan(
-                step, init, jnp.arange(n_chunks * var_samples))
+            init = (jnp.zeros(field), jnp.zeros(field))
+            (ey, eyy), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
             ey, eyy = ey / n_chunks, eyy / n_chunks
-            vy = eyy - ey ** 2  # E[Y^2|v] - E[Y|v]^2: total predictive var
-            return ey.mean(0), ey.var(0), vy.mean(0), vy.var(0)
+            return ey, eyy - ey ** 2  # total predictive var E[Y^2]-E[Y]^2
 
-        self._propagate = jax.jit(_propagate, static_argnums=(2,))
+        self._propagate_one = jax.jit(_propagate_one)
 
     def sample(self, x, key):
         """(n_samples, B, H, W, C) samples for inputs (B, H, W, C)."""
@@ -107,7 +103,14 @@ class GlowSurrogate:
             x = x[:n_use]
             n = n_use
         xs = x.reshape(n // b, b, *x.shape[1:])
-        return self._propagate(xs, key, var_samples)
+        eys, vys = [], []
+        for v in range(var_samples):
+            ey, vy = self._propagate_one(xs, jax.random.fold_in(key, v))
+            eys.append(ey)
+            vys.append(vy)
+        ey = jnp.stack(eys)
+        vy = jnp.stack(vys)
+        return ey.mean(0), ey.var(0), vy.mean(0), vy.var(0)
 
 
 class UQCondGlow:
