@@ -26,7 +26,7 @@ $D tools/pallas_probe.py > $L/pallas_probe.log 2>&1
 # scanned epoch measured ~2x slower than per-step dispatch
 $D -m pde_surrogate_tpu.cli.train_cglow_reverse_kl \
   --beta 150 --ntrain 4096 --kle 100 --imsize 32 --epochs 400 --seed 1 \
-  --no-scan-epochs > $L/cglow_kle100_im32.log 2>&1
+  > $L/cglow_kle100_im32.log 2>&1
 
 # post-process it (full UQ suite incl. the scanned propagate)
 RUN=$(ls -d experiments/cglow/reverse_kld/kle100_ntrain4096_* | head -1)
