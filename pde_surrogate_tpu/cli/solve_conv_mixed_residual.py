@@ -163,11 +163,17 @@ def main(argv=None):
         return energy + (diri + neum) * args.weight_bound
 
     fixed = args.linesearch == "fixed"
-    opt = lbfgs_optimizer(memory_size=50,
-                          learning_rate=args.lr if fixed else None)
+
+    def build_opt(lr_scale: float):
+        opt = lbfgs_optimizer(
+            memory_size=50,
+            learning_rate=args.lr * lr_scale if fixed else None)
+        return opt, make_lbfgs_epoch(loss_fn, opt, iters_per_epoch=20,
+                                     with_linesearch=not fixed)
+
+    lr_scale = 1.0
+    opt, epoch_fn = build_opt(lr_scale)
     opt_state = opt.init(params)
-    epoch_fn = make_lbfgs_epoch(loss_fn, opt, iters_per_epoch=20,
-                                with_linesearch=not fixed)
 
     @jax.jit
     def predict(params):
@@ -205,8 +211,13 @@ def main(argv=None):
         params, opt_state, loss = epoch_fn(params, opt_state)
         loss = float(loss)
         if not np.isfinite(loss) or loss > 100.0 * max(best_loss, 1e-12):
+            # restarting from the same point with the same step size
+            # re-diverges identically (everything is deterministic), so
+            # each restart also halves the step
+            lr_scale *= 0.5
             print(f"epoch {epoch}: diverged (loss {loss}); restarting from "
-                  f"best ({best_loss:.6f}) with reset L-BFGS memory")
+                  f"best ({best_loss:.6f}) with lr x{lr_scale}")
+            opt, epoch_fn = build_opt(lr_scale)
             params = best_params
             opt_state = opt.init(params)
             logger["loss"].append(best_loss)
