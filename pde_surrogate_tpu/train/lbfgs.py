@@ -73,6 +73,9 @@ def make_lbfgs_epoch(loss_fn: Callable, opt, iters_per_epoch: int = 20,
 
         (params, opt_state), values = jax.lax.scan(
             step, (params, opt_state), None, length=iters_per_epoch)
-        return params, opt_state, values[-1]
+        # report the loss of the RETURNED params, not of the last iterate's
+        # start: a blowup inside the final update would otherwise pair good
+        # losses with garbage params (breaks restart-from-best guards)
+        return params, opt_state, loss_fn(params)
 
     return epoch
