@@ -97,6 +97,12 @@ class Parser(BaseParser):
                           choices=["zoom", "fixed"],
                           help="fixed (torch-style lr steps) escapes the "
                                "basins zoom locks into on this objective")
+        self.add_argument("--adam-warmup", type=int, default=0,
+                          help="Adam steps before L-BFGS (same recipe as the "
+                               "FC solver: warmup past the flat random-init "
+                               "basin, then let zoom L-BFGS polish). "
+                               "0 disables.")
+        self.add_argument("--adam-lr", type=float, default=1e-3)
 
 
 def main(argv=None):
@@ -161,6 +167,28 @@ def main(argv=None):
                       + conv_continuity_constraint(output, sobel))
         diri, neum = conv_boundary_condition(output)
         return energy + (diri + neum) * args.weight_bound
+
+    if args.adam_warmup > 0:
+        import optax
+        aopt = optax.adam(args.adam_lr)
+        ast = aopt.init(params)
+        chunk = min(100, args.adam_warmup)
+
+        @jax.jit
+        def adam_chunk(p, st):
+            def step(carry, _):
+                p, st = carry
+                l, g = jax.value_and_grad(loss_fn)(p)
+                u, st = aopt.update(g, st)
+                return (optax.apply_updates(p, u), st), l
+
+            (p, st), losses = jax.lax.scan(step, (p, st), None, length=chunk)
+            return p, st, losses[-1]
+
+        for _ in range(max(1, args.adam_warmup // chunk)):
+            params, ast, warm_loss = adam_chunk(params, ast)
+        print(f"Adam warmup ({args.adam_warmup} steps): "
+              f"loss {float(warm_loss):.6f}")
 
     fixed = args.linesearch == "fixed"
 
