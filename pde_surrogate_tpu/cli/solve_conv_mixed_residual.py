@@ -103,6 +103,9 @@ class Parser(BaseParser):
                                "basin, then let zoom L-BFGS polish). "
                                "0 disables.")
         self.add_argument("--adam-lr", type=float, default=1e-3)
+        self.add_argument("--sobel-size", type=int, default=3, choices=[3, 5],
+                          help="derivative stencil for the physics loss "
+                               "(5x5 materially improved codec flux_v)")
 
 
 def main(argv=None):
@@ -149,7 +152,8 @@ def main(argv=None):
     variables = model.init(jax.random.key(args.seed), fixed_latent,
                            train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
-    sobel = SobelFilter(args.imsize, correct=True)
+    sobel = SobelFilter(args.imsize, correct=True,
+                        filter_size=args.sobel_size)
 
     def loss_fn(params):
         # train-mode BN like the reference (it never calls eval()); the
