@@ -69,6 +69,18 @@ def test_solve_conv_cli(tmp_path):
     assert np.isfinite(logger["loss"]).all()
 
 
+def test_solve_conv_warmup_zoom_cli(tmp_path):
+    """Adam warmup (scanned chunks) + zoom L-BFGS + 5x5 stencil — the
+    FC-solver recipe ported to the conv solver."""
+    from pde_surrogate_tpu.cli.solve_conv_mixed_residual import main
+    params, logger, target = main(_common(tmp_path, [
+        "--imsize", "16", "--kle", "128", "--idx", "1", "--blocks", "2,2",
+        "--epochs", "1", "--test-freq", "1", "--linesearch", "zoom",
+        "--adam-warmup", "10", "--sobel-size", "5"]))
+    assert len(logger["loss"]) == 1
+    assert np.isfinite(logger["loss"]).all()
+
+
 def test_solve_conv_nonlinear_cli(tmp_path):
     """--nonlinear: FV-Newton oracle + .npy cache
     (solve_conv_mixed_residual.py:102-114)."""
