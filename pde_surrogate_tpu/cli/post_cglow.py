@@ -53,6 +53,8 @@ def main(argv=None):
                                y_channels=run_args.y_channels,
                                enc_blocks=run_args.enc_blocks,
                                flow_blocks=run_args.flow_blocks,
+                               flow_coupling=getattr(run_args, "coupling",
+                                                     "dense"),
                                LU_decompose=run_args.LU_decompose,
                                squeeze_factor=2)
 

@@ -47,6 +47,10 @@ class Parser(BaseParser):
         self.add_argument("--flow-blocks", type=int_list, default=[6, 6, 6])
         self.add_argument("--no-LU-decompose", action="store_true",
                           default=False)
+        self.add_argument("--coupling", type=str, default="dense",
+                          choices=["dense", "wide"],
+                          help="affine-coupling net type "
+                               "(reference README.md:70)")
         # data
         self.add_argument("--data-dir", type=str, default="./datasets")
         self.add_argument("--kle", type=int, default=100)
@@ -124,6 +128,7 @@ def main(argv=None):
                                y_channels=args.y_channels,
                                enc_blocks=args.enc_blocks,
                                flow_blocks=args.flow_blocks,
+                               flow_coupling=args.coupling,
                                LU_decompose=args.LU_decompose,
                                squeeze_factor=2)
 

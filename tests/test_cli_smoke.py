@@ -161,6 +161,20 @@ def test_find_lr_cli(tmp_path):
     assert (out[0].parent / "find_lr.pdf").exists()
 
 
+def test_train_cglow_wide_coupling_cli(tmp_path):
+    """--coupling wide selects the width-128 conv coupling net
+    (reference README.md:70, glow_msc.py:259-272)."""
+    from pde_surrogate_tpu.cli.train_cglow_reverse_kl import main as train_main
+    state, logger = train_main(_common(tmp_path, [
+        "--kle", "64", "--ntrain", "8", "--ntest", "8", "--imsize", "16",
+        "--enc-blocks", "2,2", "--flow-blocks", "2,2", "--batch-size", "8",
+        "--test-batch-size", "8", "--epochs", "1", "--coupling", "wide"]))
+    import jax
+    assert np.isfinite(logger["loss_train"]).all()
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert leaves  # params built through the wide-coupling path
+
+
 def test_train_cglow_and_post_cli(tmp_path):
     """train_cglow_reverse_kl -> post_cglow chained: checkpoint restore +
     all five UQ tasks through argv (reference post_cglow.py)."""
