@@ -123,6 +123,7 @@ class DenseLayer(nn.Module):
     bn_size: int = 8
     bottleneck: bool = False
     dtype: Any = None
+    concat_out: bool = True  # False: return only the growth channels
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -142,25 +143,49 @@ class DenseLayer(nn.Module):
             y = conv(self.growth_rate, (3, 3), padding=1, name="conv1")(y)
         if self.drop_rate > 0:
             y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
+        if not self.concat_out:
+            return y
         return jnp.concatenate([x, y], axis=-1)
 
 
 class DenseBlock(nn.Module):
-    """Cascade of DenseLayers (models/codec.py:78-86)."""
+    """Cascade of DenseLayers (models/codec.py:78-86).
+
+    ``impl='slab'`` is a bitwise-identical HBM-traffic optimization: the
+    block's final channel count is preallocated once and each layer's
+    growth channels are written in place with ``dynamic_update_slice``
+    (XLA updates the dead buffer in place), instead of re-copying the
+    whole accumulated feature map through a ``concatenate`` every layer —
+    the concat copies are the step's HBM bottleneck (docs/RESULTS.md).
+    """
     num_layers: int
     growth_rate: int
     drop_rate: float = 0.0
     bn_size: int = 8
     bottleneck: bool = False
     dtype: Any = None
+    impl: str = "concat"  # 'concat' | 'slab'
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.impl == "concat":
+            for i in range(self.num_layers):
+                x = DenseLayer(self.growth_rate, self.drop_rate, self.bn_size,
+                               self.bottleneck, self.dtype,
+                               name=f"denselayer{i + 1}")(x, train)
+            return x
+        c0 = x.shape[-1]
+        total = c0 + self.num_layers * self.growth_rate
+        buf = jnp.zeros(x.shape[:-1] + (total,), x.dtype)
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, x, 0, axis=-1)
         for i in range(self.num_layers):
-            x = DenseLayer(self.growth_rate, self.drop_rate, self.bn_size,
-                           self.bottleneck, self.dtype,
-                           name=f"denselayer{i + 1}")(x, train)
-        return x
+            c = c0 + i * self.growth_rate
+            view = jax.lax.slice_in_dim(buf, 0, c, axis=-1)
+            y = DenseLayer(self.growth_rate, self.drop_rate, self.bn_size,
+                           self.bottleneck, self.dtype, concat_out=False,
+                           name=f"denselayer{i + 1}")(view, train)
+            buf = jax.lax.dynamic_update_slice_in_dim(buf, y, c, axis=-1)
+        return buf
 
 
 class Transition(nn.Module):
@@ -267,6 +292,7 @@ class DenseED(nn.Module):
     out_activation: str | None = None
     upsample: str = "nearest"
     dtype: Any = None  # compute dtype (jnp.bfloat16 for MXU speed); params f32
+    dense_impl: str = "concat"  # see DenseBlock.impl
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -287,6 +313,7 @@ class DenseED(nn.Module):
         for i, num_layers in enumerate(enc_blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
                            self.bn_size, self.bottleneck, self.dtype,
+                           impl=self.dense_impl,
                            name=f"encblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             x = Transition(num_features // 2, down=True,
@@ -296,6 +323,7 @@ class DenseED(nn.Module):
         for i, num_layers in enumerate(dec_blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
                            self.bn_size, self.bottleneck, self.dtype,
+                           impl=self.dense_impl,
                            name=f"decblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             if i < len(dec_blocks) - 1:
@@ -328,6 +356,7 @@ class Decoder(nn.Module):
     upsample: str = "nearest"
     out_activation: str | None = None
     dtype: Any = None
+    dense_impl: str = "concat"  # see DenseBlock.impl
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -339,7 +368,7 @@ class Decoder(nn.Module):
         num_features = self.init_features
         for i, num_layers in enumerate(self.blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
-                           dtype=self.dtype,
+                           dtype=self.dtype, impl=self.dense_impl,
                            name=f"decblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             if i < len(self.blocks) - 1:

@@ -102,3 +102,27 @@ def test_res_cppn_shapes():
     x = jnp.zeros((16, 2))
     variables = model.init(jax.random.key(0), x)
     assert model.apply(variables, x).shape == (16, 1)
+
+
+def test_dense_impl_slab_bitwise_equal():
+    """The slab dense-block (in-place channel-slab writes instead of
+    per-layer concats) is a pure memory-traffic optimization: identical
+    param tree, bitwise-identical outputs in both train and eval modes."""
+    kw = dict(in_channels=1, out_channels=3, imsize=32, blocks=[3, 4, 3])
+    ref = DenseED(**kw)
+    slab = DenseED(**kw, dense_impl="slab")
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 1))
+    variables = ref.init(jax.random.key(0), x, train=False)
+    assert (jax.tree_util.tree_structure(
+                slab.init(jax.random.key(0), x, train=False))
+            == jax.tree_util.tree_structure(variables))
+    for train in (False, True):
+        if train:
+            ya, _ = ref.apply(variables, x, train=True,
+                              mutable=["batch_stats"])
+            yb, _ = slab.apply(variables, x, train=True,
+                               mutable=["batch_stats"])
+        else:
+            ya = ref.apply(variables, x, train=False)
+            yb = slab.apply(variables, x, train=False)
+        assert jnp.array_equal(ya, yb), f"train={train}"
