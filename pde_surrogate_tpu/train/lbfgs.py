@@ -28,9 +28,14 @@ def lbfgs_optimizer(memory_size: int = 50,
 
     torch ``LBFGS(lr=0.5, max_iter=20, history_size=50)`` with its default
     ``line_search_fn=None`` takes *fixed* lr-scaled quasi-Newton steps.
-    That matters: on the solver objectives the fixed-step variant escapes
-    shallow basins that Armijo/zoom linesearches lock into (measured on the
-    conv solver: loss 0.76 fixed vs 11-19 with linesearches).
+
+    Measured on the conv-solver objective: from RANDOM init both variants
+    fail (fixed steps reach 0.79 only via divergence+restart guards; zoom
+    stalls in the first shallow basin at 3.6-19), but after a ~20k-step
+    Adam warmup zoom polishes 0.041 -> 0.011 cleanly — the start point,
+    not the linesearch, was the problem.  The drivers therefore default to
+    Adam warmup + zoom; ``learning_rate=0.5`` + fixed steps reproduces the
+    reference's optimizer exactly.
 
     ``learning_rate=None`` switches to zoom linesearch (use
     ``make_lbfgs_epoch(..., with_linesearch=True)`` with it).

@@ -1,5 +1,7 @@
 #!/bin/bash
-# Campaign H (after G): extended schedules for the two headline models.
+# Campaign H (after G): attribution + extended schedules.
+#   0. conv-solver attribution: warmup+zoom with the 3x3 stencil — did the
+#      win come from the warmup (optimizer) or the 5x5 stencil (objective)?
 #   1. codec kle512 wb50+5x5 at 1000 epochs (600-ep run was still improving)
 #   2. resume the big cGlow from epoch 200 to the reference's 400
 #      (run dirs are named by --epochs, mirroring the reference, so the
@@ -7,6 +9,10 @@
 #   3. post_cglow on the 400-epoch model; final bench
 cd /root/repo || exit 1
 while [ ! -f logs/campaign_r2g.done ]; do sleep 120; done
+timeout 2400 python -m pde_surrogate_tpu.cli.solve_conv_mixed_residual \
+  --data grf --kle 1024 --idx 8 --epochs 100 \
+  --exp-dir ./experiments/solver5 \
+  > logs/solve_conv_kle1024_longadam_3x3.log 2>&1
 timeout 3600 python -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
   --ntrain 4096 --ntest 512 --epochs 1000 --seed 1 --run 8 --sobel-size 5 \
   --weight-bound 50 > logs/canon_kle512_run8_wb50_1000ep.log 2>&1
