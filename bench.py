@@ -91,6 +91,29 @@ def main():
     print(f"[bench] {flops / 1e9:.2f} GFLOP/step -> {tflops:.1f} TFLOP/s "
           f"({100 * mfu:.1f}% of v5e bf16 peak)", file=sys.stderr)
 
+    # throughput-mode config: bf16 convs, batch 128 (same model/objective;
+    # the headline metric above stays the baseline-comparable f32/bs32)
+    big = 128
+    xb = jnp.asarray(sample_kle(big, imsize, 512, rng=2)[..., None])
+    model_tp = DenseED(1, 3, imsize=imsize, blocks=[6, 8, 6], growth_rate=16,
+                       init_features=48, dtype=jnp.bfloat16)
+    state_tp, tx_tp = create_state(model_tp, jax.random.key(0), xb,
+                                   lr_max=1e-3, total_steps=100_000)
+    step_tp = make_mixed_residual_step(model_tp, tx_tp, SobelFilter(imsize),
+                                       10.0)
+    state_tp, m = step_tp(state_tp, xb)
+    float(m["loss"])
+    for _ in range(10):
+        state_tp, m = step_tp(state_tp, xb)
+    float(m["loss"])
+    t0 = time.time()
+    for _ in range(50):
+        state_tp, m = step_tp(state_tp, xb)
+    float(m["loss"])
+    tp_sps = big * 50 / (time.time() - t0)
+    print(f"[bench] throughput mode (bf16, bs{big}): {tp_sps:.0f} samples/sec",
+          file=sys.stderr)
+
     # driver-loop throughput: the drivers' default hot loop (each epoch is
     # one device program; one value-fetch fence per epoch)
     from pde_surrogate_tpu.train.codec_trainer import make_epoch_fn
@@ -118,6 +141,7 @@ def main():
         "tflops_per_sec": round(tflops, 2),
         "mfu_vs_v5e_bf16_peak": round(mfu, 4),
         "driver_loop_samples_per_sec": round(driver_sps, 2),
+        "throughput_mode_bf16_bs128_samples_per_sec": round(tp_sps, 2),
     }))
 
 
