@@ -84,3 +84,20 @@ def test_lhs_criteria():
             assert len(np.unique(strata)) == 17
     # reproducible from the seed
     np.testing.assert_array_equal(lhs(2, 9, rng=3), lhs(2, 9, rng=3))
+
+
+def test_lbfgs_epoch_reports_returned_params_loss():
+    """The epoch's reported loss must be loss(returned params), not the
+    value cached before the final update — otherwise a blowup inside the
+    last iterate pairs a good loss with garbage params and breaks the
+    drivers' restart-from-best divergence guards."""
+
+    def loss(x):
+        return jnp.sum(x * x)
+
+    opt = lbfgs_optimizer(learning_rate=None)
+    x = jnp.ones(3)
+    opt_state = opt.init(x)
+    epoch = make_lbfgs_epoch(loss, opt, iters_per_epoch=5)
+    x, opt_state, reported = epoch(x, opt_state)
+    np.testing.assert_allclose(float(reported), float(loss(x)), rtol=1e-6)
