@@ -13,6 +13,16 @@ timeout 2400 python -m pde_surrogate_tpu.cli.solve_conv_mixed_residual \
   --data grf --kle 1024 --idx 8 --epochs 100 \
   --exp-dir ./experiments/solver5 \
   > logs/solve_conv_kle1024_longadam_3x3.log 2>&1
+# BASELINE.md family matrix: warped-GRF and channelized single-instance
+# rows (reference solve_conv supports both families)
+timeout 2400 python -m pde_surrogate_tpu.cli.solve_conv_mixed_residual \
+  --data warped_grf --idx 8 --epochs 100 --sobel-size 5 \
+  --exp-dir ./experiments/solver6 \
+  > logs/solve_conv_warped.log 2>&1
+timeout 2400 python -m pde_surrogate_tpu.cli.solve_conv_mixed_residual \
+  --data channelized --idx 8 --epochs 100 --sobel-size 5 \
+  --exp-dir ./experiments/solver7 \
+  > logs/solve_conv_channelized.log 2>&1
 timeout 3600 python -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
   --ntrain 4096 --ntest 512 --epochs 1000 --seed 1 --run 8 --sobel-size 5 \
   --weight-bound 50 > logs/canon_kle512_run8_wb50_1000ep.log 2>&1
