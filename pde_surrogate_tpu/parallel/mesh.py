@@ -16,7 +16,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["data_mesh", "batch_sharding", "replicated", "shard_batch",
-           "replicate"]
+           "replicate", "dp_sp_mesh", "batch_space_sharding"]
 
 
 def data_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -25,6 +25,32 @@ def data_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(devices, (axis,))
+
+
+def dp_sp_mesh(n_data: int, n_space: int,
+               axes: tuple[str, str] = ("data", "space")) -> Mesh:
+    """2-D (data x space) mesh for grids too large for one chip.
+
+    Training batches shard on ``data`` AND their height dimension on
+    ``space`` (`batch_space_sharding`); XLA's SPMD partitioner inserts the
+    conv halo exchanges and the cross-device BatchNorm reductions — the
+    step function itself never mentions a collective. This is the
+    activation-memory scaling path for large imsize, complementing the
+    shard_map FV solver in `parallel/spatial.py`.
+    """
+    devices = jax.devices()[: n_data * n_space]
+    if len(devices) < n_data * n_space:
+        raise ValueError(f"need {n_data * n_space} devices, "
+                         f"have {len(jax.devices())}")
+    import numpy as _np
+    return Mesh(_np.asarray(devices).reshape(n_data, n_space), axes)
+
+
+def batch_space_sharding(mesh: Mesh,
+                         axes: tuple[str, str] = ("data", "space")
+                         ) -> NamedSharding:
+    """(N, H, W, C) arrays: batch on the data axis, height on space."""
+    return NamedSharding(mesh, P(axes[0], axes[1]))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -12,8 +12,10 @@ from pde_surrogate_tpu.data.hdf5 import load_data, save_dataset
 from pde_surrogate_tpu.data.pipeline import DeviceDataset
 from pde_surrogate_tpu.models.codec import DenseED
 from pde_surrogate_tpu.ops.filters import SobelFilter
-from pde_surrogate_tpu.parallel.mesh import (batch_sharding, data_mesh,
-                                             replicate, shard_batch)
+from pde_surrogate_tpu.parallel.mesh import (batch_sharding,
+                                             batch_space_sharding, data_mesh,
+                                             dp_sp_mesh, replicate,
+                                             shard_batch)
 from pde_surrogate_tpu.train.checkpoint import (latest_epoch,
                                                 restore_checkpoint,
                                                 save_checkpoint)
@@ -104,6 +106,31 @@ def test_data_parallel_step_on_fake_mesh(rng):
     state2, _ = create_state(model, jax.random.key(0), x, 1e-3, 10)
     state2 = replicate(state2, mesh)
     xs = jax.device_put(x, batch_sharding(mesh))
+    s2, m2 = step(state2, xs)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)[0]
+    l2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_dp_sp_2d_mesh_step_on_fake_mesh(rng):
+    """Training step over a 2-D (data=4, space=2) mesh: batch sharded on
+    data AND height sharded on space.  XLA's SPMD partitioner inserts the
+    conv halo exchanges and cross-device BatchNorm reductions; the result
+    must match the single-device step."""
+    n, bs = 32, 8
+    mesh = dp_sp_mesh(4, 2)
+    x = jnp.asarray(sample_kle(bs, n, 32, rng=rng)[..., None])
+    model = small_model(n)
+    state, tx = create_state(model, jax.random.key(0), x, 1e-3, 10)
+    step = make_mixed_residual_step(model, tx, SobelFilter(n), 10.0)
+
+    s1, m1 = step(state, x)
+
+    state2, _ = create_state(model, jax.random.key(0), x, 1e-3, 10)
+    state2 = replicate(state2, mesh)
+    xs = jax.device_put(x, batch_space_sharding(mesh))
     s2, m2 = step(state2, xs)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5)
