@@ -79,6 +79,11 @@ class Parser(BaseParser):
                                " where scan wins), so eager is the default "
                                "here")
         self.add_argument("--resume", action="store_true", default=False)
+        self.add_argument("--init-from", type=str, default=None,
+                          help="run dir (or 'dir:epoch') to warm-start "
+                               "weights from, with a FRESH optimizer and lr "
+                               "schedule — the safe way to extend a finished "
+                               "OneCycle run (use a lower --lr)")
         self.add_logging_args(ckpt_freq=25, log_freq=1, plot_freq=25)
 
     def parse(self, argv=None):
@@ -164,6 +169,24 @@ def main(argv=None):
     logger = {"loss_train": [], "loss_test": [], "nrmse_test": [],
               "r2_test": [], "entropy_train": [], "entropy_test": []}
     start_epoch = 1
+    warm_started = False
+    if args.init_from and args.ckpt_epoch is None:
+        # warm start: params/batch_stats/constants only, fresh optimizer +
+        # schedule.  Extending a finished OneCycle run via --resume into a
+        # longer-schedule run dir is UNSAFE: Adam's second moments restore
+        # from the cooled-down phase (tiny v) and the longer schedule
+        # restarts at high lr -> the flow blows up on the first steps
+        # (measured: NaN from the first resumed epoch,
+        # logs/cglow_kle512_im64_resume400.log).
+        src, _, ep = args.init_from.partition(":")
+        src_ckpt = os.path.join(src, "checkpoints")
+        ep = int(ep) if ep else latest_epoch(src_ckpt)
+        loaded = restore_checkpoint(src_ckpt, ep, state)
+        state = state._replace(params=loaded.params,
+                               batch_stats=loaded.batch_stats,
+                               constants=loaded.constants)
+        warm_started = True
+        print(f"Warm-started weights from {src_ckpt} epoch {ep}")
     if args.ckpt_epoch is not None:
         state, meta = restore_checkpoint(args.ckpt_dir, args.ckpt_epoch,
                                          state, with_meta=True)
@@ -171,7 +194,7 @@ def main(argv=None):
         start_epoch = args.ckpt_epoch + 1
         print(f"Loaded checkpoint at epoch {args.ckpt_epoch}")
 
-    initialized = start_epoch > 1
+    initialized = start_epoch > 1 or warm_started
     if args.data_init and not initialized:
         xb = jnp.asarray(x_train[:args.batch_size])
         yb = jnp.asarray(y_train[:args.batch_size])

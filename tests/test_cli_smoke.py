@@ -175,6 +175,25 @@ def test_train_cglow_wide_coupling_cli(tmp_path):
     assert leaves  # params built through the wide-coupling path
 
 
+def test_train_cglow_init_from_cli(tmp_path):
+    """--init-from warm-starts weights with a fresh optimizer/schedule and
+    must NOT blow up on the first epochs (the --resume-into-longer-schedule
+    pattern did: stale Adam moments + mid-schedule lr)."""
+    from pde_surrogate_tpu.cli.train_cglow_reverse_kl import main as train_main
+    common = ["--kle", "64", "--ntrain", "16", "--ntest", "8", "--imsize",
+              "16", "--enc-blocks", "2,2", "--flow-blocks", "2,2",
+              "--batch-size", "8", "--test-batch-size", "8"]
+    state, logger = train_main(_common(tmp_path, common + [
+        "--epochs", "2", "--ckpt-freq", "2"]))
+    run0 = next((tmp_path / "experiments" / "cglow" / "reverse_kld").iterdir())
+    state2, logger2 = train_main(_common(tmp_path, common + [
+        "--epochs", "1", "--lr", "0.0005", "--exp-name", "warm",
+        "--init-from", str(run0)]))
+    assert np.isfinite(logger2["loss_train"]).all()
+    # warm start resumes near the donor's loss level, not from random init
+    assert logger2["loss_train"][0] < 3 * logger["loss_train"][-1] + 100
+
+
 def test_train_cglow_and_post_cli(tmp_path):
     """train_cglow_reverse_kl -> post_cglow chained: checkpoint restore +
     all five UQ tasks through argv (reference post_cglow.py)."""
