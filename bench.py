@@ -35,19 +35,23 @@ from pde_surrogate_tpu.train.codec_trainer import (  # noqa: E402
 
 TORCH_CPU_SAMPLES_PER_SEC = 8.44  # measured reference baseline (see docstring)
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e (v5 lite) per-chip bf16 MXU peak
+V5E_HBM_BYTES_PER_SEC = 819e9  # TPU v5e per-chip HBM bandwidth
 
 
-def _step_flops(step, state, x) -> float:
-    """XLA-reported FLOPs for one compiled train step (fwd+bwd+Adam)."""
+def _step_costs(step, state, x) -> tuple[float, float]:
+    """XLA-reported (FLOPs, HBM bytes accessed) for one compiled train step
+    (fwd+bwd+Adam).  Bytes accessed is the cost model's memory-traffic
+    estimate — the roofline denominator for this HBM-bound workload."""
     try:
         cost = jax.jit(lambda s, b: step(s, b)).lower(state, x).compile() \
             .cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost["flops"])
+        return float(cost["flops"]), float(cost.get("bytes accessed",
+                                                    float("nan")))
     except Exception as e:  # cost model availability varies by backend
         print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
-        return float("nan")
+        return float("nan"), float("nan")
 
 
 def main():
@@ -85,11 +89,15 @@ def main():
 
     # achieved FLOP/s vs v5e peak ("actually fast, not merely faster than
     # CPU-torch"): XLA cost model FLOPs / measured step time
-    flops = _step_flops(step, state, x)
+    flops, hbm_bytes = _step_costs(step, state, x)
     tflops = flops / dt / 1e12
     mfu = tflops * 1e12 / V5E_BF16_PEAK_FLOPS
+    hbm_gbps = hbm_bytes / dt / 1e9
+    hbm_util = hbm_gbps * 1e9 / V5E_HBM_BYTES_PER_SEC
     print(f"[bench] {flops / 1e9:.2f} GFLOP/step -> {tflops:.1f} TFLOP/s "
           f"({100 * mfu:.1f}% of v5e bf16 peak)", file=sys.stderr)
+    print(f"[bench] {hbm_bytes / 1e9:.2f} GB/step -> {hbm_gbps:.0f} GB/s "
+          f"({100 * hbm_util:.1f}% of v5e HBM bandwidth)", file=sys.stderr)
 
     # throughput-mode config: bf16 convs, batch 128 (same model/objective;
     # the headline metric above stays the baseline-comparable f32/bs32)
@@ -110,9 +118,13 @@ def main():
     for _ in range(50):
         state_tp, m = step_tp(state_tp, xb)
     float(m["loss"])
-    tp_sps = big * 50 / (time.time() - t0)
-    print(f"[bench] throughput mode (bf16, bs{big}): {tp_sps:.0f} samples/sec",
-          file=sys.stderr)
+    dt_tp = (time.time() - t0) / 50
+    tp_sps = big / dt_tp
+    flops_tp, hbm_bytes_tp = _step_costs(step_tp, state_tp, xb)
+    tp_hbm_util = hbm_bytes_tp / dt_tp / V5E_HBM_BYTES_PER_SEC
+    print(f"[bench] throughput mode (bf16, bs{big}): {tp_sps:.0f} samples/sec"
+          f", {flops_tp / dt_tp / 1e12:.1f} TFLOP/s, "
+          f"{100 * tp_hbm_util:.1f}% of v5e HBM bandwidth", file=sys.stderr)
 
     # driver-loop throughput: the drivers' default hot loop (each epoch is
     # one device program; one value-fetch fence per epoch)
@@ -140,6 +152,9 @@ def main():
         "gflop_per_step": round(flops / 1e9, 2),
         "tflops_per_sec": round(tflops, 2),
         "mfu_vs_v5e_bf16_peak": round(mfu, 4),
+        "hbm_gb_per_sec": round(hbm_gbps, 1),
+        "hbm_bw_utilization": round(hbm_util, 4),
+        "throughput_mode_hbm_bw_utilization": round(tp_hbm_util, 4),
         "driver_loop_samples_per_sec": round(driver_sps, 2),
         "throughput_mode_bf16_bs128_samples_per_sec": round(tp_sps, 2),
     }))
