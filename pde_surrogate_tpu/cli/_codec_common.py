@@ -43,6 +43,9 @@ def _generate_inputs(data: str, n: int, imsize: int, kle: int, seed: int):
         return sample_kle(n, imsize, kle, rng=seed)
     if data == "channelized":
         return sample_channelized(n, imsize, rng=seed)
+    if data == "warped_grf":
+        from ..data.grf import sample_warped_grf
+        return sample_warped_grf(n, imsize, rng=seed)
     raise ValueError(f"unknown data family: {data}")
 
 

@@ -20,17 +20,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.grf import sample_kle, sample_warped_grf, sample_channelized
-from ..data.hdf5 import dataset_path, load_data, save_dataset
+from ..data.hdf5 import dataset_path, load_data
 from ..models.codec import Decoder
 from ..ops.darcy import (conv_boundary_condition,
                          conv_constitutive_constraint,
                          conv_constitutive_constraint_nonlinear,
                          conv_continuity_constraint)
 from ..ops.filters import SobelFilter
-from ..solvers.fd_darcy import solve_darcy_batch_fast, solve_nonlinear_darcy
+from ..solvers.fd_darcy import solve_nonlinear_darcy
 from ..train.checkpoint import save_checkpoint
-from ..train.lbfgs import lbfgs_optimizer, make_lbfgs_epoch
+from ..train.lbfgs import lbfgs_optimizer, make_lbfgs_epoch, run_adam_warmup
 from ..utils.config import (BaseParser, enable_compilation_cache,
                             int_list, seed_everything)
 from ..viz.plot import (plot_prediction_det, plot_prediction_det_animate,
@@ -41,29 +40,33 @@ __all__ = ["main", "ensure_test_dataset"]
 
 def ensure_test_dataset(args) -> str:
     """Test-set paths per family (solve_conv_mixed_residual.py:83-92),
-    generated with solver labels when missing."""
+    generated with solver labels when missing.
+
+    Files are always generated at the canonical size their filename
+    declares, so the content is a pure function of (family, imsize, kle) —
+    a later run with a larger ``--idx`` can never silently regenerate the
+    file and change earlier samples (LHS designs are not nested), and the
+    channelized file shares the codec drivers' generation seed so both
+    paths produce identical bytes regardless of which runs first.
+    """
     from ._codec_common import ensure_dataset
     if args.data == "grf":
         assert args.kle in (128, 512, 1024, 2048)
         ntest = 1000 if args.kle == 512 else 1024
-        name = f"kle{args.kle}_lhs{ntest}_test"
-        family, n = "grf", max(args.idx + 1, 32)
+        name, family, n = f"kle{args.kle}_lhs{ntest}_test", "grf", ntest
+        seed = 32_000 + args.kle
     elif args.data == "warped_grf":
-        name, family, n = "warped_gp_ng64_n1000", "warped_grf", max(args.idx + 1, 32)
+        name, family, n, seed = "warped_gp_ng64_n1000", "warped_grf", 1000, 30_000
     elif args.data == "channelized":
-        name, family, n = "channel_ng64_n512_test", "channelized", max(args.idx + 1, 32)
+        # the codec drivers generate the SAME file (resolve_dataset_files,
+        # seed 20_000 + kle with kle=0) — one seed, identical content
+        name, family, n, seed = "channel_ng64_n512_test", "channelized", 512, 20_000
     else:
         raise ValueError("No dataset found for the specified parameters")
+    assert args.idx < n, f"--idx {args.idx} out of range for {name} ({n})"
     path = dataset_path(args.data_dir, args.imsize, name)
-    if not os.path.isfile(path):
-        if family == "warped_grf":
-            k = sample_warped_grf(n, args.imsize, rng=30_000)
-        elif family == "channelized":
-            k = sample_channelized(n, args.imsize, rng=31_000)
-        else:
-            k = sample_kle(n, args.imsize, args.kle, rng=32_000 + args.kle)
-        y = np.asarray(solve_darcy_batch_fast(jnp.asarray(k)))
-        save_dataset(path, k[:, None], y)
+    ensure_dataset(path, family, n, args.imsize, getattr(args, "kle", 0),
+                   seed=seed, with_output=True)
     return path
 
 
@@ -128,7 +131,6 @@ def main(argv=None):
     run_dir = os.path.join(args.exp_dir, exp_name, hyparams)
     os.makedirs(run_dir, exist_ok=True)
 
-    assert args.idx < 1024
     hdf5_file = ensure_test_dataset(args)
     x_all, y_all, _ = load_data(hdf5_file, args.idx + 1, only_input=False)
     perm = jnp.asarray(x_all[[args.idx]])             # (1, H, W, 1)
@@ -178,26 +180,10 @@ def main(argv=None):
         return energy + (diri + neum) * args.weight_bound
 
     if args.adam_warmup > 0:
-        import optax
-        aopt = optax.adam(args.adam_lr)
-        ast = aopt.init(params)
-        chunk = min(100, args.adam_warmup)
-
-        @jax.jit
-        def adam_chunk(p, st):
-            def step(carry, _):
-                p, st = carry
-                l, g = jax.value_and_grad(loss_fn)(p)
-                u, st = aopt.update(g, st)
-                return (optax.apply_updates(p, u), st), l
-
-            (p, st), losses = jax.lax.scan(step, (p, st), None, length=chunk)
-            return p, st, losses[-1]
-
-        for _ in range(max(1, args.adam_warmup // chunk)):
-            params, ast, warm_loss = adam_chunk(params, ast)
+        params, warm_loss = run_adam_warmup(loss_fn, params, args.adam_warmup,
+                                            args.adam_lr)
         print(f"Adam warmup ({args.adam_warmup} steps): "
-              f"loss {float(warm_loss):.6f}")
+              f"loss {warm_loss:.6f}")
 
     fixed = args.linesearch == "fixed"
 

@@ -28,7 +28,7 @@ from ..models.cppn import CPPN, fc_model_size
 from ..ops.darcy import mixed_residual_fc, neumann_boundary_mixed
 from ..ops.sampling import SampleSpatial2d
 from ..train.checkpoint import save_checkpoint
-from ..train.lbfgs import lbfgs_optimizer, make_lbfgs_epoch
+from ..train.lbfgs import lbfgs_optimizer, make_lbfgs_epoch, run_adam_warmup
 from ..utils.config import (BaseParser, enable_compilation_cache,
                             seed_everything)
 from ..viz.plot import (plot_prediction_det, plot_prediction_det_animate,
@@ -88,7 +88,6 @@ def main(argv=None):
     run_dir = os.path.join(args.exp_dir, "fc_mixed_residual", hyparams)
     os.makedirs(run_dir, exist_ok=True)
 
-    assert args.idx < 1024
     hdf5_file = ensure_test_dataset(args)
     x_all, y_all, _ = load_data(hdf5_file, args.idx + 1, only_input=False)
     perm_grid = x_all[args.idx, :, :, 0]            # (H, W)
@@ -114,7 +113,14 @@ def main(argv=None):
         [sampler.top(on_grid), sampler.bottom(on_grid)], 0))
 
     if on_grid:
-        K_colloc = jnp.asarray(perm_grid.reshape(-1, 1))
+        # gather K at the sampled grid points so any --n-colloc subset stays
+        # point-aligned (the reference pairs a PERMUTED point subset with the
+        # row-major K grid when n_colloc < imsize^2 — a known bug; for the
+        # default full grid this reduces to row-major order bitwise)
+        pts = np.asarray(x_colloc)
+        iy = np.rint(pts[:, 0] * (args.imsize - 1)).astype(int)
+        ix = np.rint(pts[:, 1] * (args.imsize - 1)).astype(int)
+        K_colloc = jnp.asarray(perm_grid[iy, ix].reshape(-1, 1))
     else:
         K_colloc = jnp.asarray(perm_grid.reshape(-1, 1))  # interp inside loss
 
@@ -128,19 +134,9 @@ def main(argv=None):
         return loss_colloc + args.weight_bound * (loss_diri + loss_neum)
 
     if args.adam_warmup > 0:
-        import optax
-        aopt = optax.adam(args.adam_lr)
-        ast = aopt.init(params)
-
-        @jax.jit
-        def adam_step(p, st):
-            l, g = jax.value_and_grad(loss_fn)(p)
-            u, st = aopt.update(g, st)
-            return optax.apply_updates(p, u), st, l
-
-        for i in range(args.adam_warmup):
-            params, ast, l = adam_step(params, ast)
-        print(f"Adam warmup ({args.adam_warmup} steps): loss {float(l):.6f}")
+        params, warm_loss = run_adam_warmup(loss_fn, params, args.adam_warmup,
+                                            args.adam_lr)
+        print(f"Adam warmup ({args.adam_warmup} steps): loss {warm_loss:.6f}")
 
     fixed = args.linesearch == "fixed"
     opt = lbfgs_optimizer(memory_size=50,

@@ -66,6 +66,11 @@ class Parser(BaseParser):
             hparams += f"_kle{args.kle}"
         if args.imsize != 64:
             hparams += f"_im{args.imsize}"
+        # variants that change training get their own run dirs
+        if args.upsample != "nearest":
+            hparams += f"_{args.upsample}"
+        if args.dtype != "f32":
+            hparams += f"_{args.dtype}"
         assert args.ntrain % args.batch_size == 0 and \
             args.ntest % args.test_batch_size == 0
         return self.finalize(args, hparams)

@@ -83,6 +83,17 @@ class Parser(BaseParser):
             hparams += f"_kle{args.kle}"
         if args.imsize != 64:
             hparams += f"_im{args.imsize}"
+        # training-relevant variants get their own run dirs: checkpoints
+        # trained under different physics weights / stencils / precision
+        # must never collide (a --ckpt-epoch resume would silently mix them)
+        if args.weight_bound != 10.0:
+            hparams += f"_wb{args.weight_bound:g}"
+        if args.sobel_size != 3:
+            hparams += f"_sobel{args.sobel_size}"
+        if args.upsample != "nearest":
+            hparams += f"_{args.upsample}"
+        if args.dtype != "f32":
+            hparams += f"_{args.dtype}"
         assert args.ntrain % args.batch_size == 0 and \
             args.ntest % args.test_batch_size == 0
         return self.finalize(args, hparams)

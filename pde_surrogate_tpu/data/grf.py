@@ -142,10 +142,14 @@ def sample_warped_grf(n_samples: int, n: int, n_terms: int = 128,
     """
     if not isinstance(rng, np.random.Generator):
         rng = np.random.default_rng(rng)
-    base = np.log(sample_kle(n_samples, n, n_terms, length_scale, rng=rng,
-                             use_lhs=False))
-    disp = np.log(sample_kle(2 * n_samples, n, 32, warp_length_scale, rng=rng,
-                             use_lhs=False))
+    # sample the log-fields directly (same draws as sample_kle(use_lhs=False)
+    # without its exp -> log float32 roundtrip)
+    basis = kle_basis(n, n_terms, length_scale)
+    base = sample_kle_logk(
+        basis, rng.standard_normal((n_samples, len(basis.eigvals))))
+    wbasis = kle_basis(n, 32, warp_length_scale)
+    disp = sample_kle_logk(
+        wbasis, rng.standard_normal((2 * n_samples, len(wbasis.eigvals))))
     dy = disp[:n_samples] * warp_scale * (n - 1)
     dx = disp[n_samples:] * warp_scale * (n - 1)
     yy, xx = np.meshgrid(np.arange(n, dtype=float), np.arange(n, dtype=float),

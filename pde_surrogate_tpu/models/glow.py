@@ -171,7 +171,6 @@ class MultiScaleCondGlow(nn.Module):
                                  self.flow_blocks, self.squeeze_factor)
         self.z_shapes_ = z_shapes
         top_features = z_shapes[-1][-1]
-        cond_sizes = encoder_feature_sizes(self.x_channels, self.enc_blocks)
         self.encoder = InputEncoder(self.x_channels, top_features,
                                     self.enc_blocks, growth_rate=16,
                                     init_features=48, name="encoder")

@@ -256,7 +256,8 @@ def _reflect_stencil_matrix(weights: tuple, n: int) -> np.ndarray:
     for i in range(n):
         for k, wk in enumerate(weights):
             j = i + k - c
-            # reflect (scipy 'reflect' == torch F.pad 'reflect' for interior)
+            # mirror boundary: j=-1 -> 1 (edge NOT repeated) — torch F.pad
+            # 'reflect' == scipy 'mirror' (scipy 'reflect' repeats the edge)
             while j < 0 or j >= n:
                 j = -j if j < 0 else 2 * (n - 1) - j
             m[i, j] += wk

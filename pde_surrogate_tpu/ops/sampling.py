@@ -50,6 +50,12 @@ class SampleSpatial2d:
                    else self.coordinates) / self.refactor
             if n_samples < len(pts):
                 pts = pts[self._rng.permutation(len(pts))[:n_samples]]
+            elif n_samples > len(pts):
+                # reference behavior (utils/sampling.py:53-55): on-grid caps
+                # at the grid size — warn so callers sizing weights by
+                # n_samples notice
+                print(f"n_samples {n_samples} > grid size {len(pts)}; "
+                      "returning the full grid")
             return pts.astype(np.float32)
         return lhs(2, n_samples, rng=self._rng).astype(np.float32)
 
@@ -64,6 +70,9 @@ class SampleSpatial2d:
             pts = np.arange(ngrid, dtype=np.float32) / (ngrid - 1)
             if n_samples <= len(pts):
                 pts = pts[self._rng.permutation(ngrid)[:n_samples]]
+            else:
+                print(f"n_samples {n_samples} > grid size {ngrid}; "
+                      "returning the full grid edge")
             return pts
         return self._rng.random(n_samples).astype(np.float32)
 

@@ -19,7 +19,39 @@ from typing import Callable
 import jax
 import optax
 
-__all__ = ["make_lbfgs_epoch", "lbfgs_optimizer"]
+__all__ = ["make_lbfgs_epoch", "lbfgs_optimizer", "run_adam_warmup"]
+
+
+def run_adam_warmup(loss_fn: Callable, params, n_steps: int,
+                    learning_rate: float, chunk: int = 100):
+    """Run ``n_steps`` Adam steps as chunked ``lax.scan`` programs.
+
+    The warmup-then-L-BFGS recipe both solvers default to (docs/RESULTS.md):
+    scanning amortizes the per-dispatch tunnel round-trip (~50 ms eager) to
+    one dispatch per ``chunk`` steps; a remainder chunk runs the exact step
+    count requested.  Returns (params, final_loss).
+    """
+    aopt = optax.adam(learning_rate)
+    ast = aopt.init(params)
+
+    @functools.partial(jax.jit, static_argnames="length")
+    def adam_chunk(p, st, length):
+        def step(carry, _):
+            p, st = carry
+            l, g = jax.value_and_grad(loss_fn)(p)
+            u, st = aopt.update(g, st)
+            return (optax.apply_updates(p, u), st), l
+
+        (p, st), losses = jax.lax.scan(step, (p, st), None, length=length)
+        return p, st, losses[-1]
+
+    n_full, rem = divmod(n_steps, chunk)
+    loss = None
+    for _ in range(n_full):
+        params, ast, loss = adam_chunk(params, ast, chunk)
+    if rem:
+        params, ast, loss = adam_chunk(params, ast, rem)
+    return params, float(loss)
 
 
 def lbfgs_optimizer(memory_size: int = 50,
