@@ -177,12 +177,13 @@ def run_codec_training(args, loss_kind: str):
         state = replicate(state, mesh)
 
     logger = {"loss_train": [], "loss_test": [], "r2_test": [],
-              "nrmse_test": []}
+              "nrmse_test": [], "consistency_test": []}
+    ckpt_consistency: list[tuple[int, float]] = []
 
     def test(epoch, state):
         # accumulate on device; ONE host sync per eval (per-batch float()
         # and per-batch output fetches cost ~8 round-trips + 50 MB/epoch)
-        losses, rel, sse = [], [], []
+        losses, rel, sse, cons = [], [], [], []
         plot_batch = None
         want_plot = (not args.no_plot
                      and (epoch % args.plot_freq == 0 or epoch == args.epochs))
@@ -191,14 +192,19 @@ def run_codec_training(args, loss_kind: str):
             losses.append(out["loss"])
             rel.append(out["rel_l2"])
             sse.append(out["sse"])
+            cons.append(out["consistency"])
             if want_plot:
                 plot_batch = (y, out["output"])  # device refs, fetched below
         loss_test = float(jnp.mean(jnp.stack(losses)))
         relative_l2 = np.asarray(jnp.concatenate(rel, 0).mean(0))
         r2 = np.asarray(r2_score(jnp.concatenate(sse, 0).sum(0),
                                  jnp.asarray(y_variation)))
+        consistency = float(jnp.mean(jnp.stack(cons)))
+        if epoch % args.ckpt_freq == 0:
+            ckpt_consistency.append((epoch, consistency))
         print(f"Epoch {epoch}: test r2-score: {r2}")
         print(f"Epoch {epoch}: test relative-l2: {relative_l2}")
+        print(f"Epoch {epoch}: flux-pressure consistency: {consistency:.4f}")
         if want_plot and plot_batch is not None:
             n_samples = 6 if epoch == args.epochs else 2
             y_np, out_np = np.asarray(plot_batch[0]), np.asarray(plot_batch[1])
@@ -210,6 +216,7 @@ def run_codec_training(args, loss_kind: str):
             logger["loss_test"].append(loss_test)
             logger["r2_test"].append(r2.tolist())
             logger["nrmse_test"].append(relative_l2.tolist())
+            logger["consistency_test"].append(consistency)
 
     from ..utils.observability import JsonlLogger, StepTimer, profile_trace
     timer = StepTimer(args.batch_size)
@@ -263,8 +270,15 @@ def run_codec_training(args, loss_kind: str):
     training_time = time.time() - tic
     print(f"Finished training {args.epochs} epochs with {args.ntrain} data "
           f"using {training_time / 60:.2f} mins")
+    if ckpt_consistency:
+        # label-free checkpoint selection: long schedules can freeze u in a
+        # drifted state (per-seed lottery, docs/RESULTS.md) — the
+        # flux-pressure consistency metric detects it without labels
+        sel_epoch, sel_cons = min(ckpt_consistency, key=lambda t: t[1])
+        print(f"Label-free checkpoint selection (min flux-pressure "
+              f"consistency): epoch {sel_epoch} ({sel_cons:.4f})")
     save_stats(args.train_dir, logger, "loss_train", "loss_test",
-               "nrmse_test", "r2_test")
+               "nrmse_test", "r2_test", "consistency_test")
     args.training_time = training_time
     args.n_params, args.n_layers = n_params, n_layers
     from ..data.hdf5 import save_args

@@ -9,6 +9,8 @@ from .darcy import (
     conv_boundary_condition,
     energy_functional_exp,
     mixed_residual_loss,
+    reconstruct_pressure,
+    flux_pressure_consistency,
     bilinear_interpolate,
     mixed_residual_fc,
     primal_residual_fc,

@@ -41,6 +41,8 @@ __all__ = [
     "conv_boundary_condition",
     "energy_functional_exp",
     "mixed_residual_loss",
+    "reconstruct_pressure",
+    "flux_pressure_consistency",
     "bilinear_interpolate",
     "mixed_residual_fc",
     "primal_residual_fc",
@@ -166,6 +168,47 @@ def mixed_residual_loss(input: jax.Array, output: jax.Array,
     pde = constitutive + continuity
     loss = pde + weight_bound * (dirichlet + neumann)
     return loss, (pde, dirichlet, neumann)
+
+
+def reconstruct_pressure(input: jax.Array, output: jax.Array) -> jax.Array:
+    """Pressure from the predicted horizontal flux, label-free.
+
+    sigma_1 = -K du/dx with the known Dirichlet values u(x=0)=1, u(x=1)=0,
+    so  u(x) = 1 - int_0^x sigma1_hat/K.  Trapezoid cumulative integral
+    along x from BOTH edges, blended linearly toward the nearer anchor to
+    halve accumulated flux error.  input (B,H,W,1|C) with K in channel 0,
+    output (B,H,W,3) -> (B,H,W) reconstructed u.
+    """
+    K = input[..., 0]
+    n = output.shape[-2]
+    dudx = -output[..., 1] / K
+    mids = 0.5 * (dudx[:, :, 1:] + dudx[:, :, :-1]) / (n - 1)
+    cum = jnp.concatenate(
+        [jnp.zeros_like(mids[:, :, :1]), jnp.cumsum(mids, axis=2)], axis=2)
+    u_left = 1.0 + cum                 # anchored at u(x=0) = 1
+    u_right = cum - cum[:, :, -1:]     # anchored at u(x=1) = 0
+    w = jnp.linspace(0.0, 1.0, n)[None, None, :]
+    return (1.0 - w) * u_left + w * u_right
+
+
+def flux_pressure_consistency(input: jax.Array, output: jax.Array
+                              ) -> jax.Array:
+    """Label-free drift metric: rel-L2 between the net's u and the
+    flux-integrated u (``reconstruct_pressure``), per batch.
+
+    The mixed residual pins u only weakly (the loss valley is nearly flat
+    along an interior-offset direction — docs/RESULTS.md seed matrix), so
+    long schedules can freeze u drifted while fluxes stay accurate.  The
+    drift is invisible to the physics loss but NOT to this metric: across
+    the canonical runs it separates drifted checkpoints (0.2-0.9) from
+    clean ones (0.05-0.12), and argmin-consistency checkpoint selection
+    recovers u R^2 0.89-0.98 for every seed (tools/consistency_probe.py).
+    """
+    u_hat = output[..., 0]
+    u_rec = reconstruct_pressure(input, output)
+    num = jnp.sqrt(jnp.sum((u_hat - u_rec) ** 2, axis=(1, 2)))
+    den = jnp.sqrt(jnp.sum(u_rec ** 2, axis=(1, 2)))
+    return jnp.mean(num / den)
 
 
 # ---------------------------------------------------------------------------

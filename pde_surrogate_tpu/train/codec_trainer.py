@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 from flax.core import FrozenDict
 
-from ..ops.darcy import mixed_residual_loss
+from ..ops.darcy import flux_pressure_consistency, mixed_residual_loss
 from ..ops.filters import SobelFilter
 from ..utils.metrics import relative_l2, squared_error_sum
 from .schedules import one_cycle_schedule
@@ -207,6 +207,10 @@ def make_eval_step(model, sobel: SobelFilter, weight_bound: float = 10.0,
             "loss": loss,
             "rel_l2": relative_l2(output, y),
             "sse": squared_error_sum(output, y),
+            # label-free drift metric (ops/darcy.flux_pressure_consistency):
+            # needs no labels, detects the interior u offset the physics
+            # loss cannot see
+            "consistency": flux_pressure_consistency(x, output),
             "output": output,
         }
 

@@ -12,6 +12,8 @@ from pde_surrogate_tpu.ops import (
     conv_constitutive_constraint_nonlinear,
     conv_continuity_constraint,
     mixed_residual_loss,
+    reconstruct_pressure,
+    flux_pressure_consistency,
     mixed_residual_fc,
     primal_variational_fc,
     neumann_boundary_mixed,
@@ -159,3 +161,40 @@ def test_bilinear_interpolate_exact_on_grid(rng):
     v = bilinear_interpolate(im, jnp.asarray([2.5]), jnp.asarray([4.0]))
     np.testing.assert_allclose(
         float(v[0]), (float(im[4, 2]) + float(im[4, 3])) / 2, atol=1e-6)
+
+
+def test_reconstruct_pressure_from_true_fluxes():
+    """Integrating the FV labels' flux recovers the FV pressure: the labels
+    are conservative face fluxes averaged to nodes, so the line integral
+    closes to ~1e-3 — the basis of the label-free drift detector."""
+    from pde_surrogate_tpu.data.grf import sample_kle
+    from pde_surrogate_tpu.solvers.fd_darcy import solve_darcy_batch_fast
+
+    k = sample_kle(4, 32, 64, rng=3)
+    y = np.asarray(solve_darcy_batch_fast(jnp.asarray(k)))  # (B, 3, H, W)
+    out = jnp.asarray(np.moveaxis(y, 1, -1))
+    inp = jnp.asarray(k[..., None])
+    u_rec = reconstruct_pressure(inp, out)
+    u_true = out[..., 0]
+    rel = float(jnp.sqrt(((u_rec - u_true) ** 2).sum())
+                / jnp.sqrt((u_true ** 2).sum()))
+    assert rel < 5e-3
+
+
+def test_flux_pressure_consistency_detects_interior_offset():
+    """The physics loss is blind to an interior u offset with conforming
+    boundary layers (the canonical schedule's per-seed failure mode);
+    the consistency metric is not."""
+    from pde_surrogate_tpu.data.grf import sample_kle
+    from pde_surrogate_tpu.solvers.fd_darcy import solve_darcy_batch_fast
+
+    k = sample_kle(4, 32, 64, rng=3)
+    y = np.asarray(solve_darcy_batch_fast(jnp.asarray(k)))
+    out = jnp.asarray(np.moveaxis(y, 1, -1))
+    inp = jnp.asarray(k[..., None])
+    clean = float(flux_pressure_consistency(inp, out))
+    # interior offset, exactly zero on the Dirichlet edges
+    bump = 0.15 * jnp.sin(jnp.linspace(0, np.pi, 32))[None, None, :]
+    drifted = float(flux_pressure_consistency(inp, out.at[..., 0].add(bump)))
+    assert clean < 5e-3
+    assert drifted > 0.1

@@ -71,6 +71,26 @@ def main():
     print(f"offset stats: mean {off.mean():.4f}  std {off.std():.4f}  "
           f"max|.| {np.abs(off).max():.4f}")
 
+    # flux-integrated reconstruction: sigma_1 = -K du/dx, u(0)=1  =>
+    # u(x) = 1 - int_0^x sigma1_hat / K.  Uses only the predicted flux, the
+    # input K, and the known BC — fully label-free.  Trapezoid along x;
+    # average with the mirrored integral from the right edge (u(1)=0) to
+    # cancel accumulated drift.
+    K = x[..., 0]
+    dudx = -pred[..., 1] / K
+    dx = 1.0 / (imsize - 1)
+    mids = 0.5 * (dudx[:, :, 1:] + dudx[:, :, :-1]) * dx
+    cum = np.concatenate([np.zeros_like(mids[:, :, :1]),
+                          np.cumsum(mids, axis=2)], axis=2)
+    u_left = 1.0 + cum                       # integrate from u(x=0)=1
+    u_right = (cum - cum[:, :, -1:])         # integrate back from u(x=1)=0
+    w = np.linspace(0.0, 1.0, imsize)[None, None, :]
+    u_rec = (1 - w) * u_left + w * u_right   # blend: trust the nearer anchor
+    pred_f = pred.copy()
+    pred_f[..., 0] = u_rec
+    rel_f, r2_f = metrics(pred_f, y)
+    print(f"flux-integrated: rel-L2 {rel_f}  R2 {r2_f}")
+
 
 if __name__ == "__main__":
     main()
