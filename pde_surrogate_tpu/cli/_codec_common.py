@@ -180,12 +180,12 @@ def run_codec_training(args, loss_kind: str):
               "nrmse_test": [], "consistency_test": []}
     ckpt_consistency: list[tuple[int, float]] = []
 
-    def test(epoch, state):
+    def test(epoch, state, record=True):
         # accumulate on device; ONE host sync per eval (per-batch float()
         # and per-batch output fetches cost ~8 round-trips + 50 MB/epoch)
         losses, rel, sse, cons = [], [], [], []
         plot_batch = None
-        want_plot = (not args.no_plot
+        want_plot = (record and not args.no_plot
                      and (epoch % args.plot_freq == 0 or epoch == args.epochs))
         for x, y in test_ds.batches(epoch):
             out = eval_step(state, x, y)
@@ -200,7 +200,7 @@ def run_codec_training(args, loss_kind: str):
         r2 = np.asarray(r2_score(jnp.concatenate(sse, 0).sum(0),
                                  jnp.asarray(y_variation)))
         consistency = float(jnp.mean(jnp.stack(cons)))
-        if epoch % args.ckpt_freq == 0:
+        if record and epoch % args.ckpt_freq == 0:
             ckpt_consistency.append((epoch, consistency))
         print(f"Epoch {epoch}: test r2-score: {r2}")
         print(f"Epoch {epoch}: test relative-l2: {relative_l2}")
@@ -212,7 +212,7 @@ def run_codec_training(args, loss_kind: str):
             for i in idx:
                 plot_prediction_det(args.pred_dir, y_np[i], out_np[i], epoch,
                                     int(i), plot_fn=args.plot_fn)
-        if epoch % args.log_freq == 0:
+        if record and epoch % args.log_freq == 0:
             logger["loss_test"].append(loss_test)
             logger["r2_test"].append(r2.tolist())
             logger["nrmse_test"].append(relative_l2.tolist())
@@ -270,13 +270,18 @@ def run_codec_training(args, loss_kind: str):
     training_time = time.time() - tic
     print(f"Finished training {args.epochs} epochs with {args.ntrain} data "
           f"using {training_time / 60:.2f} mins")
-    if ckpt_consistency:
+    finite_cons = [(e, c) for e, c in ckpt_consistency if np.isfinite(c)]
+    if finite_cons:
         # label-free checkpoint selection: long schedules can freeze u in a
         # drifted state (per-seed lottery, docs/RESULTS.md) — the
         # flux-pressure consistency metric detects it without labels
-        sel_epoch, sel_cons = min(ckpt_consistency, key=lambda t: t[1])
+        sel_epoch, sel_cons = min(finite_cons, key=lambda t: t[1])
         print(f"Label-free checkpoint selection (min flux-pressure "
               f"consistency): epoch {sel_epoch} ({sel_cons:.4f})")
+        if sel_epoch != args.epochs:
+            sel_state = restore_checkpoint(args.ckpt_dir, sel_epoch, state)
+            print(f"Metrics at the selected checkpoint (epoch {sel_epoch}):")
+            test(sel_epoch, sel_state, record=False)
     save_stats(args.train_dir, logger, "loss_train", "loss_test",
                "nrmse_test", "r2_test", "consistency_test")
     args.training_time = training_time

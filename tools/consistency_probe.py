@@ -34,14 +34,25 @@ from pde_surrogate_tpu.train.codec_trainer import create_state  # noqa: E402
 def main():
     run_dir = sys.argv[1]
     ntest = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    imsize = 64
     ckpt_dir = os.path.join(run_dir, "checkpoints")
     epochs = sorted(int(m.group(1)) for f in os.listdir(ckpt_dir)
                     if (m := re.match(r"model_epoch(\d+)\.msgpack$", f)))
 
-    model = DenseED(1, 3, imsize=imsize, blocks=[6, 8, 6], growth_rate=16,
-                    init_features=48)
-    x, y, _ = load_data(dataset_path("./datasets", imsize, "kle512_lhs1000_val"),
+    # model/data config from the run's persisted args.txt when present
+    # (falls back to the canonical kle512@64 config)
+    try:
+        from pde_surrogate_tpu.data.hdf5 import load_args
+        a = load_args(run_dir)
+        imsize, blocks = a.imsize, a.blocks
+        growth, init_feats = a.growth_rate, a.init_features
+        val = ("channel_ng64_n512_test" if a.data == "channelized"
+               else f"kle{getattr(a, 'kle', 512)}_lhs1000_val")
+    except FileNotFoundError:
+        imsize, blocks, growth, init_feats = 64, [6, 8, 6], 16, 48
+        val = "kle512_lhs1000_val"
+    model = DenseED(1, 3, imsize=imsize, blocks=blocks, growth_rate=growth,
+                    init_features=init_feats)
+    x, y, _ = load_data(dataset_path("./datasets", imsize, val),
                         ntest, only_input=False)
     u_true = y[..., 0]
     var_u = ((u_true - u_true.mean(0, keepdims=True)) ** 2).sum()
