@@ -158,7 +158,8 @@ def solve_darcy_batch(K_batch: jax.Array, tol: float = 1e-8,
     return jax.vmap(one)(K_batch)
 
 
-def solve_darcy_batch_fast(K_batch: jax.Array, n_iter: int = 1536) -> jax.Array:
+def solve_darcy_batch_fast(K_batch: jax.Array,
+                           n_iter: int | None = None) -> jax.Array:
     """TPU fast path: the in-VMEM Pallas PCG kernel (ops/kernels/cg_darcy.py)
     with the XLA solver as fallback on non-TPU backends.  Honest
     (fetch-fenced) timing on v5e is parity with the XLA CG path (35.4 vs
@@ -166,12 +167,15 @@ def solve_darcy_batch_fast(K_batch: jax.Array, n_iter: int = 1536) -> jax.Array:
     (one HBM read of K, one write of u per field) and is the in-framework
     pattern for bandwidth-bound iterative solvers.
 
-    ``n_iter=1536`` is sized for 64x64 grids at channelized contrast
-    (K ratio 100, the hardest shipped family): guarded by
+    ``n_iter`` defaults to ``24 * n`` (1536 at 64x64) — sized at 64x64 for
+    channelized contrast (K ratio 100, the hardest shipped family) and
+    scaled linearly with the grid size since unpreconditioned-CG-style
+    iteration counts grow ~1/h for the FV Laplacian.  Guarded by
     tests/test_pallas_kernels.py::test_pallas_cg_channelized_contrast
     (rel err < 1e-4 vs a tol-1e-8 solve at proportional iterations) and by
-    a compiled-path measurement on TPU (docs/RESULTS.md).  Scale n_iter
-    with the grid size (iterations grow ~linearly in 1/h)."""
+    a compiled-path measurement on TPU (docs/RESULTS.md)."""
+    if n_iter is None:
+        n_iter = 24 * K_batch.shape[-1]
     if jax.default_backend() != "tpu":
         return solve_darcy_batch(K_batch)
     from ..ops.kernels.cg_darcy import solve_darcy_pallas

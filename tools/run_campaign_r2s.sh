@@ -4,7 +4,7 @@
 # Retrain the second cGlow kle512@64 extension (2 attempts), then run the
 # full UQ suite on it.
 cd /root/repo || exit 1
-while [ ! -f logs/campaign_r2r.done ]; do sleep 120; done
+while [ ! -f logs/campaign_r2t.done ]; do sleep 120; done
 src="experiments/cglow/reverse_kld_ext/kle512_ntrain8192_ENC_blocks[3, 3, 3, 3]_FLOW_blocks[4, 4, 4, 4]_wb50.0_beta150.0_batch32_lr0.0002_epochs200"
 for attempt in 1 2; do
   timeout 10800 python -m pde_surrogate_tpu.cli.train_cglow_reverse_kl \

@@ -5,7 +5,7 @@
 # u R^2 collapsed to -3.8 at wb50/1000ep, so it is the probe of whether a
 # 3x stronger boundary pin (wb150) removes the u cooldown lottery.
 cd /root/repo || exit 1
-while [ ! -f logs/campaign_r2s.done ]; do sleep 120; done
+while [ ! -f logs/campaign_r2u.done ]; do sleep 120; done
 for attempt in 1 2; do
   timeout 5400 python -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
     --ntrain 4096 --ntest 512 --epochs 1000 --seed 2 --run 15 --sobel-size 5 \
