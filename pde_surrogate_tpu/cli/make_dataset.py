@@ -62,6 +62,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
+    # the solver executables recompile per process otherwise (20-200 s
+    # remote compiles over the tunnel)
+    from ..utils.config import enable_compilation_cache
+    enable_compilation_cache()
+
     n = args.imsize
     if args.family == "grf":
         k = args.kle
@@ -75,10 +80,13 @@ def main(argv=None):
         ]
         gen = lambda m, seed: sample_kle(m, n, k, args.length_scale, rng=seed)
     elif args.family == "channelized":
+        # same seeds as the lazy paths (_codec_common.resolve_dataset_files
+        # / solve_conv.ensure_test_dataset: 10_000/20_000 + kle with kle=0)
+        # so both generators produce identical bytes for the same filenames
         splits = [(f"channel_ng{n}_n{args.ntrain}_train", args.ntrain,
-                   11_000, args.train_labels),
+                   10_000, args.train_labels),
                   (f"channel_ng{n}_n{args.ntest}_test", args.ntest,
-                   31_000, True)]
+                   20_000, True)]
         gen = lambda m, seed: sample_channelized(m, n, rng=seed)
     else:
         splits = [(f"warped_gp_ng{n}_n{args.ntest}", args.ntest, 30_000, True)]

@@ -40,6 +40,11 @@ def main(argv=None):
     parser.add_argument("--num-loc", type=int, default=6)
     args = parser.parse_args(argv)
 
+    # several large flow executables (sample/generate/propagate) compile on
+    # every invocation otherwise — remote compiles cost 20-200 s each
+    from ..utils.config import enable_compilation_cache
+    enable_compilation_cache()
+
     run_args = load_args(args.run_dir)
     ckpt_dir = os.path.join(args.run_dir, "checkpoints")
     epoch = args.ckpt_epoch or latest_epoch(ckpt_dir)

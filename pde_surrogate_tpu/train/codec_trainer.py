@@ -80,6 +80,12 @@ def current_lr(state: CodecState) -> float:
     return float(hp["learning_rate"])
 
 
+def _dropout_rngs(state: CodecState, seed: int = 0):
+    """Per-step dropout rng folded from ``state.step`` (scan == loop bitwise);
+    harmless when drop_rate == 0 (flax only draws it if a Dropout is live)."""
+    return {"dropout": jax.random.fold_in(jax.random.key(seed), state.step)}
+
+
 def make_mixed_residual_step(model, tx, sobel: SobelFilter,
                              weight_bound: float = 10.0,
                              nonlinear: str | None = None):
@@ -93,7 +99,8 @@ def make_mixed_residual_step(model, tx, sobel: SobelFilter,
         def loss_fn(params):
             output, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, mutable=["batch_stats"])
+                x, train=True, mutable=["batch_stats"],
+                rngs=_dropout_rngs(state))
             loss, (pde, dirichlet, neumann) = mixed_residual_loss(
                 x, output, sobel, weight_bound, nonlinear)
             return loss, (mutated["batch_stats"], pde, dirichlet, neumann)
@@ -119,7 +126,8 @@ def make_mle_step(model, tx):
         def loss_fn(params):
             output, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, mutable=["batch_stats"])
+                x, train=True, mutable=["batch_stats"],
+                rngs=_dropout_rngs(state))
             loss = jnp.mean((output - y) ** 2)
             return loss, mutated["batch_stats"]
 

@@ -31,6 +31,7 @@ from ..ops.darcy import (conv_boundary_condition, conv_constitutive_constraint,
                          conv_continuity_constraint)
 from ..ops.filters import SobelFilter
 from ..utils.metrics import relative_l2, squared_error_sum
+from .codec_trainer import _adam_l2 as _adam
 from .schedules import one_cycle_schedule
 
 __all__ = ["GlowState", "create_glow_state", "make_reverse_kl_step",
@@ -68,18 +69,13 @@ def create_glow_state(model, key, sample_y, sample_x, lr_max: float,
     return state, tx
 
 
-def _adam(learning_rate, weight_decay: float = 0.0):
-    parts = []
-    if weight_decay > 0:
-        parts.append(optax.add_decayed_weights(weight_decay))
-    parts.append(optax.adam(learning_rate))
-    return optax.chain(*parts)
-
-
 def glow_lr(state: GlowState) -> float:
     hp = state.opt_state
-    # unwrap apply_if_finite if present
-    if hasattr(hp, "inner_state"):
+    # unwrap apply_if_finite if present — stop at the first state that
+    # carries hyperparams (InjectHyperparamsState itself has an
+    # `inner_state` field, so `hasattr(hp, "inner_state")` alone would
+    # over-unwrap when nan_guard=False)
+    while not hasattr(hp, "hyperparams"):
         hp = hp.inner_state
     return float(hp.hyperparams["learning_rate"])
 

@@ -40,6 +40,26 @@ def test_reverse_kl_step_runs_and_descends():
     assert np.isfinite(glow_lr(state))
 
 
+def test_glow_lr_without_nan_guard():
+    """glow_lr must read the lr through InjectHyperparamsState directly when
+    nan_guard=False (regression: it unwrapped .inner_state once
+    unconditionally, landing on the inner adam chain state)."""
+    n, bs = 16, 4
+    x = jnp.asarray(sample_kle(bs, n, 16, rng=0)[..., None])
+    y = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (bs, n, n, 3)).astype(np.float32) * 0.1)
+    model = MultiScaleCondGlow(img_size=n, x_channels=1, y_channels=3,
+                               enc_blocks=[2, 2], flow_blocks=[2, 2])
+    state, tx = create_glow_state(model, jax.random.key(0), y, x,
+                                  lr_max=1e-3, total_steps=20,
+                                  nan_guard=False)
+    assert np.isfinite(glow_lr(state))
+    step = make_reverse_kl_step(model, tx, SobelFilter(n), beta=150.0,
+                                weight_bound=50.0, n_out_pixels=3 * n * n)
+    state, _ = step(state, x)
+    assert np.isfinite(glow_lr(state))
+
+
 def test_reverse_kl_deterministic():
     """Same key + same steps = bitwise identical params (north-star:
     bitwise-stable reverse-KL training)."""

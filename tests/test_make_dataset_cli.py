@@ -25,6 +25,25 @@ def test_make_dataset_grf(tmp_path):
           "--n-monte-carlo", "4", "--solve-batch", "4"])
 
 
+def test_make_dataset_channelized_matches_lazy_path(tmp_path):
+    """The explicit factory and the drivers' lazy ensure_dataset must write
+    byte-identical channelized files for the same names (regression: the
+    factory used seeds 11_000/31_000 vs the lazy paths' 10_000/20_000)."""
+    from pde_surrogate_tpu.cli._codec_common import ensure_dataset
+    from pde_surrogate_tpu.cli.make_dataset import main
+    main(["--data-dir", str(tmp_path / "a"), "--imsize", "16",
+          "--family", "channelized", "--ntrain", "4", "--ntest", "4",
+          "--solve-batch", "4"])
+    lazy = tmp_path / "b" / "channel_ng16_n4_test.hdf5"
+    lazy.parent.mkdir(parents=True)
+    ensure_dataset(str(lazy), "channelized", 4, 16, 0, seed=20_000,
+                   with_output=True, solve_batch=4)
+    with h5py.File(tmp_path / "a" / "16x16" / "channel_ng16_n4_test.hdf5") as fa, \
+            h5py.File(lazy) as fb:
+        np.testing.assert_array_equal(fa["input"][:], fb["input"][:])
+        np.testing.assert_array_equal(fa["output"][:], fb["output"][:])
+
+
 def test_make_dataset_warped(tmp_path):
     from pde_surrogate_tpu.cli.make_dataset import main
     main(["--data-dir", str(tmp_path), "--imsize", "16",

@@ -76,6 +76,25 @@ def test_mle_training_reduces_loss(rng):
     assert float(m["loss"]) < float(m0["loss"])
 
 
+def test_dropout_training_step(rng):
+    """--drop-rate > 0 trains: the step must supply a 'dropout' rng
+    (regression: model.apply without rngs raised InvalidRngError)."""
+    n, bs = 32, 4
+    x = jnp.asarray(sample_kle(bs, n, 32, rng=rng)[..., None])
+    model = DenseED(1, 3, imsize=n, blocks=[2, 3, 2], growth_rate=8,
+                    init_features=16, drop_rate=0.2)
+    state, tx = create_state(model, jax.random.key(0), x, lr_max=1e-3,
+                             total_steps=4)
+    step = make_mixed_residual_step(model, tx, SobelFilter(n), 10.0)
+    state, m = step(state, x)
+    assert np.isfinite(float(m["loss"]))
+    # per-step dropout key folds state.step: successive steps differ
+    step_mle = make_mle_step(model, tx)
+    y = jnp.tanh(x.repeat(3, axis=-1))
+    state, m2 = step_mle(state, x, y)
+    assert np.isfinite(float(m2["loss"]))
+
+
 def test_eval_step_metrics(rng):
     n = 32
     x = jnp.asarray(sample_kle(4, n, 32, rng=rng)[..., None])

@@ -7,6 +7,7 @@
 cd /root/repo || exit 1
 while [ ! -f logs/campaign_r2u.done ]; do sleep 120; done
 for attempt in 1 2; do
+  bash tools/tpu_gate.sh
   timeout 5400 python -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
     --ntrain 4096 --ntest 512 --epochs 1000 --seed 2 --run 15 --sobel-size 5 \
     --weight-bound 150 > logs/canon_kle512_run15_wb150_1000ep_seed2.log 2>&1 \
