@@ -54,8 +54,16 @@ def _step_costs(step, state, x) -> tuple[float, float]:
         return float("nan"), float("nan")
 
 
+def _json_num(value, ndigits):
+    """round() that maps non-finite to None — NaN would make the output
+    line invalid JSON (bare NaN tokens break strict parsers)."""
+    return round(value, ndigits) if np.isfinite(value) else None
+
+
 def main():
     imsize, batch = 64, 32
+    from pde_surrogate_tpu.utils.config import enable_compilation_cache
+    enable_compilation_cache()  # ~5 executables at 20-200 s remote compile
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
     x = jnp.asarray(sample_kle(batch, imsize, 512, rng=0)[..., None])
@@ -155,12 +163,12 @@ def main():
         "value": round(sps, 2),
         "unit": "samples/sec",
         "vs_baseline": round(sps / TORCH_CPU_SAMPLES_PER_SEC, 2),
-        "gflop_per_step": round(flops / 1e9, 2),
-        "tflops_per_sec": round(tflops, 2),
-        "mfu_vs_v5e_bf16_peak": round(mfu, 4),
-        "prefusion_traffic_gb_per_sec": round(hbm_gbps, 1),
-        "hbm_roofline_ratio": round(hbm_ratio, 4),
-        "throughput_mode_hbm_roofline_ratio": round(tp_hbm_ratio, 4),
+        "gflop_per_step": _json_num(flops / 1e9, 2),
+        "tflops_per_sec": _json_num(tflops, 2),
+        "mfu_vs_v5e_bf16_peak": _json_num(mfu, 4),
+        "prefusion_traffic_gb_per_sec": _json_num(hbm_gbps, 1),
+        "hbm_roofline_ratio": _json_num(hbm_ratio, 4),
+        "throughput_mode_hbm_roofline_ratio": _json_num(tp_hbm_ratio, 4),
         "driver_loop_samples_per_sec": round(driver_sps, 2),
         "throughput_mode_bf16_bs128_samples_per_sec": round(tp_sps, 2),
     }))

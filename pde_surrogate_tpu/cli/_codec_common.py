@@ -63,7 +63,19 @@ def ensure_dataset(path: str, data: str, n: int, imsize: int, kle: int,
             have_n = f["input"].shape[0]
         if have_n >= n and (have_output or not with_output):
             return
-        os.remove(path)  # regenerate with outputs / more samples
+        # NEVER silently regenerate: LHS designs are not prefix-stable, so a
+        # bigger design would replace the existing samples under the same
+        # canonical name and break reproducibility of earlier runs against
+        # the file on disk (solve_conv.ensure_test_dataset documents the
+        # byte-identity invariant this protects).
+        need = "labels" if (with_output and not have_output) else f"{n} samples"
+        raise FileExistsError(
+            f"{path} exists with {have_n} samples"
+            f"{' (no labels)' if not have_output else ''} but this run needs "
+            f"{need}. Regenerating would REPLACE its contents with a "
+            f"different LHS design. Delete the file to regenerate, or create "
+            f"the full-size version explicitly with "
+            f"`python -m pde_surrogate_tpu.cli.make_dataset`.")
     print(f"[data] generating {path} ({n} samples, imsize {imsize})...")
     k = _generate_inputs(data, n, imsize, kle, seed)
     y = None
@@ -161,14 +173,18 @@ def run_codec_training(args, loss_kind: str):
                         filter_size=getattr(args, "sobel_size", 3))
     if loss_kind == "mixed_residual":
         train_step = make_mixed_residual_step(model, tx, sobel,
-                                              args.weight_bound)
+                                              args.weight_bound,
+                                              dropout_seed=args.seed)
     else:
-        train_step = make_mle_step(model, tx)
+        train_step = make_mle_step(model, tx, dropout_seed=args.seed)
     eval_step = make_eval_step(model, sobel, args.weight_bound)
 
     start_epoch = 1
+    restored_meta: dict = {}
     if args.ckpt_epoch is not None:
-        state = restore_checkpoint(args.ckpt_dir, args.ckpt_epoch, state)
+        state, restored_meta = restore_checkpoint(args.ckpt_dir,
+                                                  args.ckpt_epoch, state,
+                                                  with_meta=True)
         start_epoch = args.ckpt_epoch + 1
         print(f"Loaded ckpt at epoch {args.ckpt_epoch}; resume "
               f"from {start_epoch} to {args.epochs}")
@@ -176,9 +192,13 @@ def run_codec_training(args, loss_kind: str):
     if mesh:
         state = replicate(state, mesh)
 
-    logger = {"loss_train": [], "loss_test": [], "r2_test": [],
-              "nrmse_test": [], "consistency_test": []}
-    ckpt_consistency: list[tuple[int, float]] = []
+    # resume continues the saved history so the stats curves and the
+    # label-free checkpoint selection see pre-resume epochs too
+    logger = restored_meta.get("logger") or {
+        "loss_train": [], "loss_test": [], "r2_test": [],
+        "nrmse_test": [], "consistency_test": []}
+    ckpt_consistency: list[tuple[int, float]] = [
+        tuple(t) for t in restored_meta.get("ckpt_consistency", [])]
 
     def test(epoch, state, record=True):
         # accumulate on device; ONE host sync per eval (per-batch float()
@@ -264,7 +284,8 @@ def run_codec_training(args, loss_kind: str):
                        "samples_per_sec": rate["samples_per_sec"]})
         if epoch % args.ckpt_freq == 0:
             save_checkpoint(args.ckpt_dir, epoch, state,
-                            meta={"epoch": epoch, "logger": logger})
+                            meta={"epoch": epoch, "logger": logger,
+                                  "ckpt_consistency": ckpt_consistency})
         test(epoch, state)
 
     training_time = time.time() - tic
@@ -325,25 +346,47 @@ def run_find_lr(args, loss_kind: str, init_value: float = 1e-8,
     sobel = SobelFilter(args.imsize, correct=True,
                         filter_size=getattr(args, "sobel_size", 3))
     if loss_kind == "mixed_residual":
-        step = make_mixed_residual_step(model, tx, sobel, args.weight_bound)
+        step = make_mixed_residual_step(model, tx, sobel, args.weight_bound,
+                                        dropout_seed=args.seed)
     else:
-        step = make_mle_step(model, tx)
+        step = make_mle_step(model, tx, dropout_seed=args.seed)
 
     mult = (final_value / init_value) ** (1.0 / num)
     avg_loss, best_loss = 0.0, 0.0
     log_lrs, losses = [], []
+    # fetch losses in chunks of 8 steps (per-step float() syncs cost ~30 ms
+    # RTT each over the tunnel — CLAUDE.md rule); the divergence stop then
+    # acts at chunk granularity, which only trims the plot's tail
+    CHUNK = 8
+    pending: list[tuple[int, float, object]] = []
+    stop = False
+
+    def flush():
+        nonlocal avg_loss, best_loss, stop
+        vals = np.asarray(jnp.stack([m for _, _, m in pending]))
+        for (bnum, lr, _), val in zip(pending, vals):
+            avg_loss = beta * avg_loss + (1 - beta) * float(val)
+            smoothed = avg_loss / (1 - beta ** bnum)
+            if bnum > 1 and smoothed > 4 * best_loss:
+                print(f"[find_lr] diverged at lr {lr:.3e} (step {bnum})")
+                stop = True
+                break
+            if smoothed < best_loss or bnum == 1:
+                best_loss = smoothed
+            log_lrs.append(np.log10(lr))
+            losses.append(smoothed)
+        pending.clear()
+
     for batch_num, batch in enumerate(train_ds.batches(1), start=1):
         lr = init_value * mult ** (batch_num - 1)
         state, metrics = step(state, *batch)
-        avg_loss = beta * avg_loss + (1 - beta) * float(metrics["loss"])
-        smoothed = avg_loss / (1 - beta ** batch_num)
-        if batch_num > 1 and smoothed > 4 * best_loss:
-            print(f"[find_lr] diverged at lr {lr:.3e} (step {batch_num})")
-            break
-        if smoothed < best_loss or batch_num == 1:
-            best_loss = smoothed
-        log_lrs.append(np.log10(lr))
-        losses.append(smoothed)
+        pending.append((batch_num, lr, metrics["loss"]))
+        if len(pending) >= CHUNK:
+            flush()
+            if stop:
+                break
+    if pending and not stop:
+        flush()
     print(f"[find_lr] best smoothed loss {best_loss:.4f}; "
           f"suggested lr ~ 10^{log_lrs[int(np.argmin(losses))]:.2f} / 10")
 

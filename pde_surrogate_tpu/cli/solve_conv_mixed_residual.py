@@ -230,21 +230,37 @@ def main(argv=None):
     # NaN on this objective (the reference leaves recovery to the user);
     # restart from the best-seen params with fresh curvature memory.
     best_loss, best_params = float("inf"), params
+    bad_restarts = 0
     for epoch in range(1, args.epochs + 1):
         params, opt_state, loss = epoch_fn(params, opt_state)
         loss = float(loss)
         if not np.isfinite(loss) or loss > 100.0 * max(best_loss, 1e-12):
-            # restarting from the same point with the same step size
-            # re-diverges identically (everything is deterministic), so
-            # each restart also halves the step
-            lr_scale *= 0.5
+            bad_restarts += 1
+            if fixed:
+                # restarting from the same point with the same step size
+                # re-diverges identically (everything is deterministic), so
+                # each fixed-step restart also halves the step
+                lr_scale *= 0.5
+                opt, epoch_fn = build_opt(lr_scale)
+                note = f"lr x{lr_scale}"
+            else:
+                # zoom picks its own step sizes — only the curvature memory
+                # resets, so repeated re-divergence from the same best
+                # params would spin identically forever; bail out below
+                note = "fresh curvature memory"
             print(f"epoch {epoch}: diverged (loss {loss}); restarting from "
-                  f"best ({best_loss:.6f}) with lr x{lr_scale}")
-            opt, epoch_fn = build_opt(lr_scale)
+                  f"best ({best_loss:.6f}) with {note}")
             params = best_params
             opt_state = opt.init(params)
-            logger["loss"].append(best_loss)
+            logger["loss"].append(best_loss if np.isfinite(best_loss)
+                                   else float("nan"))
+            if not fixed and bad_restarts >= 3:
+                print("zoom linesearch re-diverged 3x from the same state; "
+                      "stopping early at the best-seen params")
+                params = best_params
+                break
             continue
+        bad_restarts = 0
         if loss < best_loss:
             best_loss, best_params = loss, params
         logger["loss"].append(loss)

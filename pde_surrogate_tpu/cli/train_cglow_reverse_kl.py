@@ -90,6 +90,14 @@ class Parser(BaseParser):
         args = self.parse_args(argv)
         args.LU_decompose = not args.no_LU_decompose
         assert len(args.enc_blocks) == len(args.flow_blocks)
+        # drop-last batching would silently exclude the remainder from
+        # training and skew eval metrics (SSE summed over fewer samples
+        # than y_variation was computed on) — same gate as the codec
+        # drivers (train_codec_mixed_residual.py:84-85)
+        assert args.ntrain % args.batch_size == 0, \
+            "ntrain must be divisible by batch-size"
+        assert args.ntest % args.test_batch_size == 0, \
+            "ntest must be divisible by test-batch-size"
         hparams = (f"kle{args.kle}_ntrain{args.ntrain}_"
                    f"ENC_blocks{args.enc_blocks}_FLOW_blocks{args.flow_blocks}_"
                    f"wb{args.weight_bound}_beta{args.beta}_"

@@ -58,7 +58,11 @@ def kle_basis(n: int, n_terms: int, length_scale: float = 0.25) -> KLEBasis:
     w1, v1 = np.linalg.eigh(c1)
     order = np.argsort(w1)[::-1]
     w1, v1 = w1[order], v1[:, order]
-    m = min(n, int(np.ceil(np.sqrt(n_terms))) + 8)
+    # keep all n 1-D pairs (the eigh already paid for them): a sqrt(n_terms)
+    # candidate grid would exclude anisotropic pairs like (0, j>sqrt) whose
+    # products outrank deep-interior ones — at kle512/n=64 that dropped 166
+    # of the true top-512 modes (~2.3% of the retained energy)
+    m = min(n, n_terms)
     w1, v1 = w1[:m], v1[:, :m]
     # discrete eigenvectors are orthonormal wrt counting measure; rescale so
     # that sum_i lambda_i phi_i(s)^2 -> pointwise variance ~= 1

@@ -345,10 +345,15 @@ class FirstRevLayer(nn.Module):
 
 
 class Squeeze(nn.Module):
-    """Space-to-depth by ``factor`` (models/glow_msc.py:400-429), NHWC.
+    """Space-to-depth by ``factor`` (role of models/glow_msc.py:400-429), NHWC.
 
-    Output channel order is (c, fy, fx)-major, matching the torch reshape
-    convention channel-by-subpixel.
+    Output channel order is (c, fy, fx)-major over LOCAL f x f subpixels —
+    the standard Glow/RealNVP squeeze.  Deliberately NOT the reference's
+    reshape, which splits H as (f, H/f) (glow_msc.py:415-421) so its output
+    channels hold f x f coarse tiles (quadrants at f=2) rather than
+    subpixels; the subpixel form preserves locality for the coupling convs.
+    Latents/eps are therefore not positionally comparable to the torch
+    model's — only distributionally.
     """
     factor: int = 2
 

@@ -15,6 +15,8 @@ Idiomatic differences from the reference:
 
 Channel/shape bookkeeping matches models/glow_msc.py:874-891 exactly:
 z_i = (y_ch * f^2 / 2) cumulative per split, top latent keeps all channels.
+(Shapes only — the squeeze pixel ORDER deliberately differs; see
+flow.Squeeze.)
 """
 
 from __future__ import annotations

@@ -47,6 +47,7 @@ __all__ = [
     "mixed_residual_fc",
     "primal_residual_fc",
     "primal_variational_fc",
+    "neumann_boundary",
     "neumann_boundary_mixed",
 ]
 

@@ -39,10 +39,12 @@ def _halo_rows(v_local: jax.Array, axis: str):
     """Exchange boundary rows with mesh neighbors.
 
     Returns (row_above, row_below) for this shard: the last local row of the
-    neighbor above and the first local row of the neighbor below.  Edge
-    shards receive their own edge row (replicate padding — matching the
-    zero boundary-face conductivities, the received value is multiplied by
-    zero so the fill value is arbitrary).
+    neighbor above and the first local row of the neighbor below.  The
+    ppermute ring is CIRCULAR, so the global edge shards receive the
+    OPPOSITE edge of the domain — callers MUST multiply the halo by a
+    coefficient that is zero at the global boundary (the zero top/bottom
+    boundary-face conductivities here).  Do not reuse for unmasked
+    quantities: that would silently couple the top and bottom boundaries.
     """
     n_dev = jax.lax.axis_size(axis)
     down = [(i, (i + 1) % n_dev) for i in range(n_dev)]

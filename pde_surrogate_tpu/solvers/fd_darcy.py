@@ -138,14 +138,14 @@ def darcy_fields(K: jax.Array, u: jax.Array) -> jax.Array:
     # vertical face fluxes on horizontal faces, (n-1, n)
     fy = -harm(K[..., :-1, :], K[..., 1:, :]) * (u[..., 1:, :] - u[..., :-1, :]) / h
     # node values: mean of adjacent faces; one-sided at the domain edge
-    sigma1 = (jnp.pad(fx, ((0, 0), (0, 1)), mode="edge")
-              + jnp.pad(fx, ((0, 0), (1, 0)), mode="edge")) / 2.0
-    sigma2 = (jnp.pad(fy, ((0, 1), (0, 0)), mode="edge")
-              + jnp.pad(fy, ((1, 0), (0, 0)), mode="edge")) / 2.0
+    # (pad widths are ndim-aware so direct batched calls work too)
+    pad = lambda a, w: jnp.pad(a, ((0, 0),) * (a.ndim - 2) + w, mode="edge")
+    sigma1 = (pad(fx, ((0, 0), (0, 1))) + pad(fx, ((0, 0), (1, 0)))) / 2.0
+    sigma2 = (pad(fy, ((0, 1), (0, 0))) + pad(fy, ((1, 0), (0, 0)))) / 2.0
     # zero vertical flux through the top/bottom walls (Neumann BC exactly,
     # matching the mixed-FEM labels' boundary values)
     sigma2 = sigma2.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
-    return jnp.stack([u, sigma1, sigma2], axis=0)
+    return jnp.stack([u, sigma1, sigma2], axis=-3)
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "maxiter"))
@@ -299,9 +299,16 @@ def solve_nonlinear_darcy(K: jax.Array, alpha1: float = 1.0,
     v0 = (solve_darcy(K, tol=cg_tol, maxiter=cg_maxiter) - u_d) * mask
     v = jax.lax.fori_loop(0, newton_iters, newton_step, v0)
     u = u_d + v * mask
-    # nodal fluxes from the nonlinear law applied to nodal gradients
-    gx_n = _grad_fd(u, axis=-1, h=h)
-    gy_n = _grad_fd(u, axis=-2, h=h)
-    sigma1 = _sigma_from_grad(K, gx_n, alpha1, alpha2)
-    sigma2 = _sigma_from_grad(K, gy_n, alpha1, alpha2)
+    # conservative face fluxes averaged to nodes — the SAME label convention
+    # as the linear path (darcy_fields): the nonlinear law on nodal FD
+    # gradients would violate continuity at O(1) on rough fields
+    gx = (u[:, 1:] - u[:, :-1]) / h
+    gy = (u[1:, :] - u[:-1, :]) / h
+    sx = _sigma_from_grad(Kx, gx, alpha1, alpha2)
+    sy = _sigma_from_grad(Ky, gy, alpha1, alpha2)
+    sigma1 = (jnp.pad(sx, ((0, 0), (0, 1)), mode="edge")
+              + jnp.pad(sx, ((0, 0), (1, 0)), mode="edge")) / 2.0
+    sigma2 = (jnp.pad(sy, ((0, 1), (0, 0)), mode="edge")
+              + jnp.pad(sy, ((1, 0), (0, 0)), mode="edge")) / 2.0
+    sigma2 = sigma2.at[0, :].set(0.0).at[-1, :].set(0.0)
     return jnp.stack([u, sigma1, sigma2], axis=0)

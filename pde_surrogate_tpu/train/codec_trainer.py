@@ -88,7 +88,8 @@ def _dropout_rngs(state: CodecState, seed: int = 0):
 
 def make_mixed_residual_step(model, tx, sobel: SobelFilter,
                              weight_bound: float = 10.0,
-                             nonlinear: str | None = None):
+                             nonlinear: str | None = None,
+                             dropout_seed: int = 0):
     """Label-free physics-constrained step: batch is (K,) images only.
 
     The returned jitted step exposes the un-jitted body as ``.core`` so
@@ -100,7 +101,7 @@ def make_mixed_residual_step(model, tx, sobel: SobelFilter,
             output, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x, train=True, mutable=["batch_stats"],
-                rngs=_dropout_rngs(state))
+                rngs=_dropout_rngs(state, dropout_seed))
             loss, (pde, dirichlet, neumann) = mixed_residual_loss(
                 x, output, sobel, weight_bound, nonlinear)
             return loss, (mutated["batch_stats"], pde, dirichlet, neumann)
@@ -119,7 +120,7 @@ def make_mixed_residual_step(model, tx, sobel: SobelFilter,
     return jitted
 
 
-def make_mle_step(model, tx):
+def make_mle_step(model, tx, dropout_seed: int = 0):
     """Data-driven MSE step (train_codec_max_likelihood.py:201-213)."""
 
     def step(state: CodecState, x, y):
@@ -127,7 +128,7 @@ def make_mle_step(model, tx):
             output, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x, train=True, mutable=["batch_stats"],
-                rngs=_dropout_rngs(state))
+                rngs=_dropout_rngs(state, dropout_seed))
             loss = jnp.mean((output - y) ** 2)
             return loss, mutated["batch_stats"]
 

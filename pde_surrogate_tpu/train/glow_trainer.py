@@ -35,7 +35,8 @@ from .codec_trainer import _adam_l2 as _adam
 from .schedules import one_cycle_schedule
 
 __all__ = ["GlowState", "create_glow_state", "make_reverse_kl_step",
-           "make_glow_eval_step", "data_init_actnorm", "glow_lr"]
+           "make_forward_kl_step", "make_glow_eval_step", "data_init_actnorm",
+           "glow_lr"]
 
 LN2 = math.log(2.0)
 

@@ -42,9 +42,14 @@ def run_adam_warmup(loss_fn: Callable, params, n_steps: int,
             u, st = aopt.update(g, st)
             return (optax.apply_updates(p, u), st), l
 
-        (p, st), losses = jax.lax.scan(step, (p, st), None, length=length)
-        return p, st, losses[-1]
+        (p, st), _ = jax.lax.scan(step, (p, st), None, length=length)
+        # loss of the RETURNED params (the scanned l's are pre-update, so
+        # the last one is a step stale and a final-update blowup would
+        # go unnoticed); one extra forward per chunk
+        return p, st, loss_fn(p)
 
+    if n_steps <= 0:
+        return params, float(jax.jit(loss_fn)(params))
     n_full, rem = divmod(n_steps, chunk)
     loss = None
     for _ in range(n_full):

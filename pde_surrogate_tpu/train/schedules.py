@@ -32,7 +32,10 @@ def one_cycle(lr_max: float, div_factor: float = 25.0, pct_start: float = 0.3):
     lr_low = lr_max / div_factor
 
     def schedule(pct):
-        pct = jnp.asarray(pct, jnp.float32)
+        # clamp: the cosine is periodic, so steps past total_steps would
+        # ride BACK UP toward lr_max (the reference's Python loop never
+        # exceeds total_steps; an optax schedule is open-ended)
+        pct = jnp.clip(jnp.asarray(pct, jnp.float32), 0.0, 1.0)
         warm = annealing_linear(lr_low, lr_max, pct / pct_start)
         cool = annealing_cos(lr_max, lr_low / 1e4,
                              (pct - pct_start) / (1.0 - pct_start))

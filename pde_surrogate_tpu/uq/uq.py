@@ -295,8 +295,15 @@ class UQCondGlow:
             err2 = ((mean - y) ** 2).sum(axis=(1, 2))
             rel.append(np.sqrt(err2 / (y ** 2).sum(axis=(1, 2))))
             sse.append(err2)
-        relative_l2 = np.concatenate(rel, 0).mean(0)
-        r2 = 1 - np.concatenate(sse, 0).sum(0) / self.y_test_variation
+        if rel:
+            relative_l2 = np.concatenate(rel, 0).mean(0)
+            r2 = 1 - np.concatenate(sse, 0).sum(0) / self.y_test_variation
+        else:
+            # every batch NaN-filtered away (fully diverged checkpoint):
+            # still report the abnormal-rate stats below instead of crashing
+            nc = self.test_y.shape[-1]  # NHWC
+            relative_l2 = np.full(nc, np.nan)
+            r2 = np.full(nc, np.nan)
         print(relative_l2)
         print(r2)
         np.savetxt(os.path.join(self.post_dir, "nrmse_test.txt"), relative_l2)

@@ -149,10 +149,12 @@ def plot_MC2(save_dir, monte_carlo, pred_mean, pred_var, mean, ntrain,
     rows = ["Monte Carlo", f"Mean of Est. {which}", f"2 Std of Est. {which}",
             "Row1 - Row2"]
     samples = np.stack([target, pm, ps * 2, target - pm], 0)
+    # manual_scale = the reference's fixed-color-range mode; realized here
+    # as per-column shared scales (same_scale), its closest analog
     panel_grid(samples, rows, COLS,
                os.path.join(save_dir,
                             f"pred_{'mean' if mean else 'var'}_vs_MC.pdf"),
-               plot_fn, cmap, same_scale)
+               plot_fn, cmap, same_scale or manual_scale)
     print(f"Done plotting Pred_{'mean' if mean else 'var'}_vs_MC, "
           f"num of training: {ntrain}")
 
@@ -195,7 +197,8 @@ def save_samples(save_dir, images, epoch, index, name, nrow=4, heatmap=True,
     """
     images = np.stack([_chw(im) for im in _to_numpy(images)])
     ncol = max(images.shape[0] // nrow, 1)
-    n_show = nrow * ncol
+    # clamp: fewer images than grid cells (e.g. post_cglow --n-samples 2)
+    n_show = min(nrow * ncol, images.shape[0])
     for c in range(images.shape[1]):
         fig, axes = plt.subplots(nrow, ncol, figsize=(12, 12), squeeze=False)
         vmin, vmax = images[:n_show, c].min(), images[:n_show, c].max()
@@ -206,6 +209,8 @@ def save_samples(save_dir, images, epoch, index, name, nrow=4, heatmap=True,
                            vmin=vmin, vmax=vmax)
             ax.set_axis_off()
             ax.set_aspect("equal")
+        for j in range(n_show, nrow * ncol):
+            axes[j // ncol, j % ncol].set_axis_off()
         fig.colorbar(im, ax=axes, fraction=0.02)
         if title:
             plt.suptitle(f"Epoch {epoch}")

@@ -40,6 +40,32 @@ def test_train_codec_mixed_residual_cli(tmp_path):
     assert (runs[0] / "training" / "nrmse_test.txt").exists()
 
 
+def test_predict_codec_cli(tmp_path):
+    """Serving surface: train tiny, then batch-predict from the checkpoint
+    over the labeled val file and write the reference NCHW layout."""
+    import h5py
+    from pde_surrogate_tpu.cli.predict_codec import main as predict_main
+    from pde_surrogate_tpu.cli.train_codec_mixed_residual import main
+    main(_common(tmp_path, [
+        "--ntrain", "16", "--ntest", "8", "--batch-size", "8",
+        "--test-batch-size", "8", "--imsize", "16", "--epochs", "2",
+        "--blocks", "1,2,1", "--growth-rate", "4", "--init-features", "8",
+        "--ckpt-freq", "2"]))
+    run_dir = next((tmp_path / "experiments" / "codec" /
+                    "mixed_residual").iterdir())
+    val = tmp_path / "datasets" / "16x16" / "kle512_lhs1000_val.hdf5"
+    out = tmp_path / "pred.hdf5"
+    pred, rel_l2, r2 = predict_main([
+        "--run-dir", str(run_dir), "--input", str(val),
+        "--output", str(out), "--batch-size", "4"])
+    assert pred.shape == (8, 16, 16, 3)
+    assert rel_l2.shape == (3,) and np.isfinite(rel_l2).all()
+    assert r2.shape == (3,)
+    with h5py.File(out) as f:
+        assert f["input"].shape == (8, 1, 16, 16)
+        assert f["output"].shape == (8, 3, 16, 16)
+
+
 def test_train_codec_max_likelihood_cli(tmp_path):
     from pde_surrogate_tpu.cli.train_codec_max_likelihood import main
     state, logger = main(_common(tmp_path, [
@@ -113,8 +139,12 @@ def test_codec_resume_cli(tmp_path):
         "--ckpt-freq", "1"])
     state, logger = main(argv)
     state2, logger2 = main(argv + ["--ckpt-epoch", "1"])
-    assert len(logger2["loss_train"]) == 1  # resumed epoch 2 only
+    # resume restores the saved history (epoch 1) and continues (epoch 2),
+    # so curves and label-free checkpoint selection span the whole run
+    assert len(logger2["loss_train"]) == 2
     np.testing.assert_allclose(logger2["loss_train"][0],
+                               logger["loss_train"][0], rtol=1e-5)
+    np.testing.assert_allclose(logger2["loss_train"][1],
                                logger["loss_train"][1], rtol=1e-5)
 
 

@@ -108,3 +108,37 @@ def test_nonlinear_constant_k():
     dudx = (u[:, 2:] - u[:, :-2]) / (2 * h)
     rhs = s1 + s1 ** 2 + s1 ** 3
     np.testing.assert_allclose(-dudx[:, :], rhs[:, 1:-1], atol=5e-3)
+
+
+def test_darcy_fields_direct_batch(rng):
+    """darcy_fields accepts (B, n, n) directly and matches the vmapped form
+    (regression: hard-coded 2-D pad widths raised on batched input)."""
+    import jax
+    n = 17
+    K = jnp.asarray(sample_kle(3, n, 32, rng=rng))
+    u = jax.vmap(solve_darcy)(K)
+    direct = np.asarray(darcy_fields(K, u))
+    vmapped = np.asarray(jax.vmap(darcy_fields)(K, u))
+    assert direct.shape == (3, 3, n, n)
+    np.testing.assert_array_equal(direct, vmapped)
+
+
+def test_nonlinear_flux_labels_are_conservative():
+    """Nonlinear labels follow the same conservative face-flux-to-node
+    convention as the linear path: the image-gradient divergence of the
+    flux field must be near zero (regression: the nonlinear law applied to
+    nodal FD gradients violated continuity at O(1))."""
+    n = 33
+    K = jnp.asarray(sample_kle(1, n, 64, rng=5)[0])
+    out = np.asarray(solve_nonlinear_darcy(K, 0.1, 0.1))
+    _, s1, s2 = out
+    h = 1.0 / (n - 1)
+    div = ((s1[1:-1, 2:] - s1[1:-1, :-2]) + (s2[2:, 1:-1] - s2[:-2, 1:-1])) / (2 * h)
+    # compare against the naive nodal-law fluxes' divergence on the same u
+    from pde_surrogate_tpu.solvers.fd_darcy import _grad_fd, _sigma_from_grad
+    u = jnp.asarray(out[0])
+    s1n = np.asarray(_sigma_from_grad(K, _grad_fd(u, -1, h), 0.1, 0.1))
+    s2n = np.asarray(_sigma_from_grad(K, _grad_fd(u, -2, h), 0.1, 0.1))
+    div_naive = ((s1n[1:-1, 2:] - s1n[1:-1, :-2])
+                 + (s2n[2:, 1:-1] - s2n[:-2, 1:-1])) / (2 * h)
+    assert np.abs(div).mean() < 0.25 * np.abs(div_naive).mean()

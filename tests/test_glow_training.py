@@ -158,3 +158,27 @@ def test_glow_surrogate_and_uq(tmp_path):
     assert (freq >= 0).all() and (freq <= 1).all()
     ee, ve, ev, vv = uq.propagate_uncertainty(var_samples=2)
     assert ee.shape == y.shape[1:]
+
+
+def test_uq_test_metric_all_nan(tmp_path):
+    """A fully diverged checkpoint (every predictive mean NaN) must still
+    report abnormal-rate stats, not crash on an empty concatenate."""
+
+    class _NaNSurrogate:
+        def predict(self, x, key):
+            m = jnp.full(x.shape[:3] + (3,), jnp.nan)
+            return m, jnp.zeros_like(m)
+
+    n, bs = 16, 8
+    x_np = np.random.default_rng(0).standard_normal(
+        (bs, n, n, 1)).astype(np.float32)
+    y_np = np.random.default_rng(1).standard_normal(
+        (bs, n, n, 3)).astype(np.float32)
+    uq = UQCondGlow(_NaNSurrogate(), (x_np, y_np), (x_np, y_np),
+                    ((y_np - y_np.mean(0)) ** 2).sum((0, 1, 2)),
+                    post_dir=str(tmp_path), imsize=n, batch_size=4,
+                    key=jax.random.key(0))
+    rel, r2 = uq.test_metric(handle_nan=True)
+    assert rel.shape == (3,) and np.isnan(rel).all() and np.isnan(r2).all()
+    stats = np.loadtxt(tmp_path / "log_stats.txt")
+    assert stats[0] == bs and stats[2] == 1.0

@@ -28,6 +28,19 @@ def test_kle_logk_statistics():
     np.testing.assert_allclose(var.mean(), captured.mean(), rtol=0.15)
 
 
+def test_kle_basis_keeps_true_top_products():
+    """The selected 2-D eigenvalues must be exactly the n_terms largest
+    lambda_i*lambda_j over the FULL n x n product grid (regression: a
+    sqrt(n_terms)-sized candidate grid dropped anisotropic (0, j>m) pairs
+    outranking deep-interior ones — 166 of the top 512 at n=64)."""
+    n, n_terms = 64, 512
+    basis = kle_basis(n, n_terms, 0.25)
+    from pde_surrogate_tpu.data.grf import _exp_cov_1d
+    w1 = np.linalg.eigvalsh(_exp_cov_1d(n, 0.25) / n)[::-1]
+    full = np.sort(np.outer(w1, w1).ravel())[::-1][:n_terms]
+    np.testing.assert_allclose(np.sort(basis.eigvals)[::-1], full, rtol=1e-10)
+
+
 def test_kle_lhs_stratification():
     """LHS coefficient designs: each KLE coefficient's empirical quantiles
     are stratified (variance of a mean much lower than iid)."""

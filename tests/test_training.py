@@ -44,6 +44,9 @@ def test_one_cycle_matches_reference_formula():
     # midpoint of cosine phase: avg of max and floor
     mid = (1e-3 + 5e-8) / 2
     np.testing.assert_allclose(float(sched(0.65)), mid, rtol=1e-5)
+    # clamped past pct=1: the periodic cosine must NOT ride back up when an
+    # optimizer steps beyond total_steps (regression)
+    np.testing.assert_allclose(float(sched(1.7)), float(sched(1.0)), rtol=0)
 
 
 def test_mixed_residual_training_reduces_loss(rng):
