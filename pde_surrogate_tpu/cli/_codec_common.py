@@ -29,8 +29,8 @@ from ..parallel.mesh import batch_sharding, data_mesh, replicate
 from ..solvers.fd_darcy import solve_darcy_batch_fast
 from ..train.checkpoint import restore_checkpoint, save_checkpoint
 from ..train.codec_trainer import (create_state, current_lr, make_epoch_fn,
-                                   make_eval_step, make_mixed_residual_step,
-                                   make_mle_step)
+                                   make_eval_epoch_fn, make_eval_step,
+                                   make_mixed_residual_step, make_mle_step)
 from ..utils.metrics import r2_score
 from ..viz.plot import plot_prediction_det, save_stats
 
@@ -200,26 +200,44 @@ def run_codec_training(args, loss_kind: str):
     ckpt_consistency: list[tuple[int, float]] = [
         tuple(t) for t in restored_meta.get("ckpt_consistency", [])]
 
+    scan_epochs = bool(getattr(args, "scan_epochs", True))
+    eval_epoch_fn = (make_eval_epoch_fn(eval_step.core, sharding)
+                     if scan_epochs else None)
+
     def test(epoch, state, record=True):
-        # accumulate on device; ONE host sync per eval (per-batch float()
-        # and per-batch output fetches cost ~8 round-trips + 50 MB/epoch)
-        losses, rel, sse, cons = [], [], [], []
         plot_batch = None
         want_plot = (record and not args.no_plot
                      and (epoch % args.plot_freq == 0 or epoch == args.epochs))
-        for x, y in test_ds.batches(epoch):
-            out = eval_step(state, x, y)
-            losses.append(out["loss"])
-            rel.append(out["rel_l2"])
-            sse.append(out["sse"])
-            cons.append(out["consistency"])
-            if want_plot:
-                plot_batch = (y, out["output"])  # device refs, fetched below
-        loss_test = float(jnp.mean(jnp.stack(losses)))
-        relative_l2 = np.asarray(jnp.concatenate(rel, 0).mean(0))
-        r2 = np.asarray(r2_score(jnp.concatenate(sse, 0).sum(0),
-                                 jnp.asarray(y_variation)))
-        consistency = float(jnp.mean(jnp.stack(cons)))
+        if eval_epoch_fn is not None and not want_plot:
+            # whole test set as ONE device program + ONE host fetch (the
+            # eager per-batch loop below costs ~steps_per_epoch round trips
+            # over the tunnel every eval epoch)
+            ms = eval_epoch_fn(state, test_ds.epoch_indices(0),
+                               *test_ds.arrays)
+            fl, frel, fsse, fcons = jax.device_get(
+                (ms["loss"], ms["rel_l2"], ms["sse"], ms["consistency"]))
+            loss_test = float(fl.mean())
+            relative_l2 = frel.reshape(-1, frel.shape[-1]).mean(0)
+            r2 = np.asarray(r2_score(fsse.reshape(-1, fsse.shape[-1]).sum(0),
+                                     np.asarray(y_variation)))
+            consistency = float(fcons.mean())
+        else:
+            # eager path: plot epochs (need per-batch outputs) and
+            # --no-scan-epochs; accumulate on device, ONE sync at the end
+            losses, rel, sse, cons = [], [], [], []
+            for x, y in test_ds.batches(epoch):
+                out = eval_step(state, x, y)
+                losses.append(out["loss"])
+                rel.append(out["rel_l2"])
+                sse.append(out["sse"])
+                cons.append(out["consistency"])
+                if want_plot:
+                    plot_batch = (y, out["output"])  # device refs
+            loss_test = float(jnp.mean(jnp.stack(losses)))
+            relative_l2 = np.asarray(jnp.concatenate(rel, 0).mean(0))
+            r2 = np.asarray(r2_score(jnp.concatenate(sse, 0).sum(0),
+                                     jnp.asarray(y_variation)))
+            consistency = float(jnp.mean(jnp.stack(cons)))
         if record and epoch % args.ckpt_freq == 0:
             ckpt_consistency.append((epoch, consistency))
         print(f"Epoch {epoch}: test r2-score: {r2}")
@@ -251,7 +269,6 @@ def run_codec_training(args, loss_kind: str):
     # loop (equivalence guarded by test_codec_scan_epochs_cli).  NOTE:
     # block_until_ready is a no-op on the axon platform — only value
     # fetches (float/np.asarray) fence.
-    scan_epochs = bool(getattr(args, "scan_epochs", True))
     if scan_epochs:
         epoch_fn = make_epoch_fn(train_step.core, sharding)
 

@@ -175,6 +175,14 @@ def test_codec_scan_epochs_cli(tmp_path):
                                                      "--no-scan-epochs"]))
     np.testing.assert_allclose(logger2["loss_train"], logger["loss_train"],
                                rtol=1e-5)
+    # the scanned whole-test-set eval must agree with the eager per-batch
+    # loop (same metrics from one device program vs steps_per_epoch of them)
+    np.testing.assert_allclose(logger2["loss_test"], logger["loss_test"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(logger2["nrmse_test"], logger["nrmse_test"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(logger2["consistency_test"],
+                               logger["consistency_test"], rtol=1e-5)
 
 
 def test_find_lr_cli(tmp_path):
