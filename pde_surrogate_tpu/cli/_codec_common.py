@@ -299,11 +299,14 @@ def run_codec_training(args, loss_kind: str):
             jsonl.log({"epoch": epoch, "loss_train": loss_train,
                        "lr": current_lr(state),
                        "samples_per_sec": rate["samples_per_sec"]})
+        # eval BEFORE checkpointing so the meta sidecar carries this epoch's
+        # logger entries and consistency record (predict_codec
+        # --select-consistency reads them from the latest checkpoint)
+        test(epoch, state)
         if epoch % args.ckpt_freq == 0:
             save_checkpoint(args.ckpt_dir, epoch, state,
                             meta={"epoch": epoch, "logger": logger,
                                   "ckpt_consistency": ckpt_consistency})
-        test(epoch, state)
 
     training_time = time.time() - tic
     print(f"Finished training {args.epochs} epochs with {args.ntrain} data "

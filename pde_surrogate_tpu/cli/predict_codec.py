@@ -37,6 +37,11 @@ def main(argv=None):
                         help="checkpoint epoch (default: latest; the "
                              "training log prints the label-free "
                              "consistency-selected epoch)")
+    parser.add_argument("--select-consistency", action="store_true",
+                        help="pick the checkpoint with the lowest recorded "
+                             "flux-pressure consistency (the label-free "
+                             "u-drift detector, docs/RESULTS.md) instead of "
+                             "the latest epoch")
     parser.add_argument("--input", type=str, required=True,
                         help="HDF5 with 'input' (N,1,H,W); 'output' labels "
                              "optional (metrics printed when present)")
@@ -56,6 +61,26 @@ def main(argv=None):
     epoch = args.ckpt_epoch or latest_epoch(ckpt_dir)
     if epoch is None:
         raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    if args.select_consistency:
+        # label-free drift-aware selection: every checkpoint's meta carries
+        # the (epoch, flux_pressure_consistency) history recorded at save
+        # time; argmin separates drifted from clean u (docs/RESULTS.md)
+        import json
+        from ..train.checkpoint import _meta_file
+        meta_path = _meta_file(ckpt_dir, epoch)
+        if not os.path.isfile(meta_path):
+            raise FileNotFoundError(
+                f"{meta_path} missing — --select-consistency needs the "
+                f"checkpoint meta sidecar written by the training driver")
+        with open(meta_path) as f:
+            history = json.load(f).get("ckpt_consistency", [])
+        finite = [(e, c) for e, c in history if np.isfinite(c)]
+        if not finite:
+            raise ValueError("no finite consistency records in the "
+                             "checkpoint meta")
+        epoch, cons = min(finite, key=lambda t: t[1])
+        print(f"[predict] consistency-selected epoch {epoch} "
+              f"(flux-pressure consistency {cons:.4f})")
 
     dtype = jnp.bfloat16 if getattr(run_args, "dtype", "f32") == "bf16" \
         else None

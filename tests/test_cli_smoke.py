@@ -57,7 +57,8 @@ def test_predict_codec_cli(tmp_path):
     out = tmp_path / "pred.hdf5"
     pred, rel_l2, r2 = predict_main([
         "--run-dir", str(run_dir), "--input", str(val),
-        "--output", str(out), "--batch-size", "4"])
+        "--output", str(out), "--batch-size", "4",
+        "--select-consistency"])
     assert pred.shape == (8, 16, 16, 3)
     assert rel_l2.shape == (3,) and np.isfinite(rel_l2).all()
     assert r2.shape == (3,)
