@@ -203,6 +203,9 @@ def run_codec_training(args, loss_kind: str):
     scan_epochs = bool(getattr(args, "scan_epochs", True))
     eval_epoch_fn = (make_eval_epoch_fn(eval_step.core, sharding)
                      if scan_epochs else None)
+    # the test set never shuffles, so its batch-index tensor is a constant:
+    # build it once instead of re-dispatching arange+reshape every eval
+    eval_idx = test_ds.epoch_indices(0) if eval_epoch_fn is not None else None
 
     def test(epoch, state, record=True):
         plot_batch = None
@@ -212,8 +215,7 @@ def run_codec_training(args, loss_kind: str):
             # whole test set as ONE device program + ONE host fetch (the
             # eager per-batch loop below costs ~steps_per_epoch round trips
             # over the tunnel every eval epoch)
-            ms = eval_epoch_fn(state, test_ds.epoch_indices(0),
-                               *test_ds.arrays)
+            ms = eval_epoch_fn(state, eval_idx, *test_ds.arrays)
             fl, frel, fsse, fcons = jax.device_get(
                 (ms["loss"], ms["rel_l2"], ms["sse"], ms["consistency"]))
             loss_test = float(fl.mean())
@@ -301,22 +303,27 @@ def run_codec_training(args, loss_kind: str):
                        "samples_per_sec": rate["samples_per_sec"]})
         # eval BEFORE checkpointing so the meta sidecar carries this epoch's
         # logger entries and consistency record (predict_codec
-        # --select-consistency reads them from the latest checkpoint)
-        test(epoch, state)
-        if epoch % args.ckpt_freq == 0:
-            save_checkpoint(args.ckpt_dir, epoch, state,
-                            meta={"epoch": epoch, "logger": logger,
-                                  "ckpt_consistency": ckpt_consistency})
+        # --select-consistency reads them from the latest checkpoint) —
+        # but save even if eval raises (transient TPU Internal errors,
+        # CLAUDE.md) so the epoch's weights are never lost
+        try:
+            test(epoch, state)
+        finally:
+            if epoch % args.ckpt_freq == 0:
+                save_checkpoint(args.ckpt_dir, epoch, state,
+                                meta={"epoch": epoch, "logger": logger,
+                                      "ckpt_consistency": ckpt_consistency})
 
     training_time = time.time() - tic
     print(f"Finished training {args.epochs} epochs with {args.ntrain} data "
           f"using {training_time / 60:.2f} mins")
-    finite_cons = [(e, c) for e, c in ckpt_consistency if np.isfinite(c)]
-    if finite_cons:
+    from ..train.checkpoint import select_consistency_epoch
+    selected = select_consistency_epoch(ckpt_consistency)
+    if selected is not None:
         # label-free checkpoint selection: long schedules can freeze u in a
         # drifted state (per-seed lottery, docs/RESULTS.md) — the
         # flux-pressure consistency metric detects it without labels
-        sel_epoch, sel_cons = min(finite_cons, key=lambda t: t[1])
+        sel_epoch, sel_cons = selected
         print(f"Label-free checkpoint selection (min flux-pressure "
               f"consistency): epoch {sel_epoch} ({sel_cons:.4f})")
         if sel_epoch != args.epochs:

@@ -79,8 +79,12 @@ def main(argv=None):
     sample_y = jnp.zeros((2, run_args.imsize, run_args.imsize,
                           run_args.y_channels))
     sample_x = jnp.asarray(test_x[:2])
+    # lr/steps are irrelevant for inference, but weight_decay changes the
+    # opt_state pytree STRUCTURE — the template must match training's chain
     state, _ = create_glow_state(model, jax.random.key(0), sample_y, sample_x,
-                                 lr_max=1e-3, total_steps=1)
+                                 lr_max=1e-3, total_steps=1,
+                                 weight_decay=getattr(run_args,
+                                                      "weight_decay", 0.0))
     state = restore_checkpoint(ckpt_dir, epoch, state)
     print(f"Loaded checkpoint at epoch {epoch}")
 

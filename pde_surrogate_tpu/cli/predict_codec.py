@@ -66,19 +66,28 @@ def main(argv=None):
         # the (epoch, flux_pressure_consistency) history recorded at save
         # time; argmin separates drifted from clean u (docs/RESULTS.md)
         import json
-        from ..train.checkpoint import _meta_file
-        meta_path = _meta_file(ckpt_dir, epoch)
-        if not os.path.isfile(meta_path):
+        from ..train.checkpoint import (_meta_file, latest_meta_epoch,
+                                        select_consistency_epoch)
+        if args.ckpt_epoch is not None:
+            print(f"[predict] note: --ckpt-epoch {args.ckpt_epoch} only "
+                  f"bounds the history --select-consistency searches; the "
+                  f"restored epoch is the consistency argmin")
+        meta_epoch = latest_meta_epoch(ckpt_dir, at_or_below=epoch)
+        if meta_epoch is None:
             raise FileNotFoundError(
-                f"{meta_path} missing — --select-consistency needs the "
-                f"checkpoint meta sidecar written by the training driver")
-        with open(meta_path) as f:
+                f"no model_epoch*.json sidecar at or below epoch {epoch} in "
+                f"{ckpt_dir} — --select-consistency needs the checkpoint "
+                f"meta written by the training driver")
+        if meta_epoch != epoch:
+            print(f"[predict] epoch {epoch} has no meta sidecar; reading "
+                  f"history from epoch {meta_epoch}")
+        with open(_meta_file(ckpt_dir, meta_epoch)) as f:
             history = json.load(f).get("ckpt_consistency", [])
-        finite = [(e, c) for e, c in history if np.isfinite(c)]
-        if not finite:
+        selected = select_consistency_epoch(history)
+        if selected is None:
             raise ValueError("no finite consistency records in the "
                              "checkpoint meta")
-        epoch, cons = min(finite, key=lambda t: t[1])
+        epoch, cons = selected
         print(f"[predict] consistency-selected epoch {epoch} "
               f"(flux-pressure consistency {cons:.4f})")
 
@@ -98,10 +107,13 @@ def main(argv=None):
     n = min(args.ndata or n_total, n_total)
     x, y, _ = load_data(args.input, n, only_input=not has_labels)
 
-    # template state (optimizer hyperparams are irrelevant for inference)
+    # template state (lr/steps are irrelevant for inference, but
+    # weight_decay changes the opt_state pytree STRUCTURE — the restore
+    # template must match the training chain or from_bytes raises)
     sample = jnp.asarray(x[: max(args.batch_size // 8, 1)])
-    state, _ = create_state(model, jax.random.key(0), sample, lr_max=1e-3,
-                            total_steps=1)
+    state, _ = create_state(
+        model, jax.random.key(0), sample, lr_max=1e-3, total_steps=1,
+        weight_decay=getattr(run_args, "weight_decay", 0.0))
     state = restore_checkpoint(ckpt_dir, epoch, state)
     print(f"[predict] restored {ckpt_dir} epoch {epoch}")
 

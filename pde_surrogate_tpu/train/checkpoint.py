@@ -19,6 +19,7 @@ reverse-KL training motivates (README.md:84-85, --resume flag).
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 
@@ -26,6 +27,7 @@ import flax.serialization
 import jax
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "latest_epoch",
+           "latest_meta_epoch", "select_consistency_epoch",
            "checkpoint_file"]
 
 
@@ -102,3 +104,32 @@ def latest_epoch(ckpt_dir: str) -> int | None:
     epochs = [int(m.group(1)) for fn in os.listdir(ckpt_dir)
               if (m := re.fullmatch(r"model_epoch(\d+)\.msgpack", fn))]
     return max(epochs) if epochs else None
+
+
+def latest_meta_epoch(ckpt_dir: str, at_or_below: int | None = None
+                      ) -> int | None:
+    """Largest epoch with a meta sidecar (optionally capped), or None.
+
+    A kill between the two atomic writes in save_checkpoint can leave the
+    newest .msgpack without its .json; history readers fall back to the
+    newest sidecar that exists (its ckpt_consistency list is a prefix of
+    the lost one).
+    """
+    if not os.path.isdir(ckpt_dir):
+        return None
+    epochs = [int(m.group(1)) for fn in os.listdir(ckpt_dir)
+              if (m := re.fullmatch(r"model_epoch(\d+)\.json", fn))]
+    if at_or_below is not None:
+        epochs = [e for e in epochs if e <= at_or_below]
+    return max(epochs) if epochs else None
+
+
+def select_consistency_epoch(history) -> tuple[int, float] | None:
+    """Argmin over finite ``(epoch, consistency)`` records, or None.
+
+    The label-free checkpoint-selection rule (docs/RESULTS.md): the lowest
+    flux-pressure consistency separates u-drifted checkpoints (0.2-0.9)
+    from clean ones (0.05-0.12) without labels.
+    """
+    finite = [(int(e), float(c)) for e, c in history if math.isfinite(c)]
+    return min(finite, key=lambda t: t[1]) if finite else None

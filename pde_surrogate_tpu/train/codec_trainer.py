@@ -171,23 +171,11 @@ def make_epoch_fn(step_core: Callable, sharding=None):
       stacked per step (fetch once per epoch).
     """
 
-    if sharding is not None:
-        # batch axis of the (steps, batch, ...) epoch tensor
-        from jax.sharding import NamedSharding, PartitionSpec
-        epoch_sharding = NamedSharding(sharding.mesh,
-                                       PartitionSpec(None, *sharding.spec))
+    epoch_sharding = _epoch_sharding(sharding)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_epoch(state: CodecState, idx, *arrays):
-        # ONE epoch-sized gather up front, then scan slices it natively —
-        # a per-iteration gather over the full dataset measured ~5 ms/step
-        # at 64x64 (it scaled with dataset size, not model FLOPs)
-        epoch = tuple(
-            jnp.take(a, idx.reshape(-1), axis=0)
-            .reshape(idx.shape + a.shape[1:]) for a in arrays)
-        if sharding is not None:
-            epoch = tuple(jax.lax.with_sharding_constraint(e, epoch_sharding)
-                          for e in epoch)
+        epoch = _gather_epoch(idx, arrays, epoch_sharding)
 
         def body(st, batch):
             return step_core(st, *batch)
@@ -195,6 +183,30 @@ def make_epoch_fn(step_core: Callable, sharding=None):
         return jax.lax.scan(body, state, epoch)
 
     return run_epoch
+
+
+def _epoch_sharding(sharding):
+    """Sharding for the (steps, batch, ...) epoch tensor: keep the batch
+    axis of ``sharding`` (a per-batch NamedSharding), replicate steps."""
+    if sharding is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+    return NamedSharding(sharding.mesh, PartitionSpec(None, *sharding.spec))
+
+
+def _gather_epoch(idx, arrays, epoch_sharding):
+    """ONE epoch-sized gather up front, then scan slices it natively — a
+    per-iteration gather over the full dataset measured ~5 ms/step at 64x64
+    (it scaled with dataset size, not model FLOPs).  ``arrays`` must be jit
+    ARGUMENTS of the caller, never closure captures (multi-100MB constants
+    in the remote compile payload)."""
+    epoch = tuple(
+        jnp.take(a, idx.reshape(-1), axis=0)
+        .reshape(idx.shape + a.shape[1:]) for a in arrays)
+    if epoch_sharding is not None:
+        epoch = tuple(jax.lax.with_sharding_constraint(e, epoch_sharding)
+                      for e in epoch)
+    return epoch
 
 
 def make_eval_step(model, sobel: SobelFilter, weight_bound: float = 10.0,
@@ -241,19 +253,11 @@ def make_eval_epoch_fn(eval_core: Callable, sharding=None):
     schedules.
     """
 
-    if sharding is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-        epoch_sharding = NamedSharding(sharding.mesh,
-                                       PartitionSpec(None, *sharding.spec))
+    epoch_sharding = _epoch_sharding(sharding)
 
     @jax.jit
     def run_eval(state: CodecState, idx, *arrays):
-        epoch = tuple(
-            jnp.take(a, idx.reshape(-1), axis=0)
-            .reshape(idx.shape + a.shape[1:]) for a in arrays)
-        if sharding is not None:
-            epoch = tuple(jax.lax.with_sharding_constraint(e, epoch_sharding)
-                          for e in epoch)
+        epoch = _gather_epoch(idx, arrays, epoch_sharding)
 
         def body(carry, batch):
             out = eval_core(state, *batch)

@@ -42,7 +42,12 @@ def test_train_codec_mixed_residual_cli(tmp_path):
 
 def test_predict_codec_cli(tmp_path):
     """Serving surface: train tiny, then batch-predict from the checkpoint
-    over the labeled val file and write the reference NCHW layout."""
+    over the labeled val file and write the reference NCHW layout.
+
+    Trains with a nonzero --weight-decay: that adds an element to the optax
+    chain, so this also guards the restore template rebuilding the SAME
+    opt_state pytree structure (regression: predict_codec used to default
+    weight_decay=0 and crash in from_bytes)."""
     import h5py
     from pde_surrogate_tpu.cli.predict_codec import main as predict_main
     from pde_surrogate_tpu.cli.train_codec_mixed_residual import main
@@ -50,7 +55,7 @@ def test_predict_codec_cli(tmp_path):
         "--ntrain", "16", "--ntest", "8", "--batch-size", "8",
         "--test-batch-size", "8", "--imsize", "16", "--epochs", "2",
         "--blocks", "1,2,1", "--growth-rate", "4", "--init-features", "8",
-        "--ckpt-freq", "2"]))
+        "--ckpt-freq", "2", "--weight-decay", "1e-4"]))
     run_dir = next((tmp_path / "experiments" / "codec" /
                     "mixed_residual").iterdir())
     val = tmp_path / "datasets" / "16x16" / "kle512_lhs1000_val.hdf5"

@@ -226,6 +226,25 @@ def test_checkpoint_prng_key_roundtrip(tmp_path):
         np.asarray(jax.random.key_data(state["key"])))
 
 
+def test_checkpoint_selection_helpers(tmp_path):
+    """latest_meta_epoch skips sidecar-less checkpoints (torn save);
+    select_consistency_epoch argmins over finite records only."""
+    from pde_surrogate_tpu.train.checkpoint import (latest_meta_epoch,
+                                                    select_consistency_epoch)
+    ckpt_dir = str(tmp_path / "checkpoints")
+    state = {"x": jnp.ones((2,))}
+    save_checkpoint(ckpt_dir, 1, state, meta={"epoch": 1})
+    save_checkpoint(ckpt_dir, 2, state, meta={"epoch": 2})
+    save_checkpoint(ckpt_dir, 3, state)  # no meta: a kill between writes
+    assert latest_epoch(ckpt_dir) == 3
+    assert latest_meta_epoch(ckpt_dir) == 2
+    assert latest_meta_epoch(ckpt_dir, at_or_below=1) == 1
+    assert select_consistency_epoch([]) is None
+    assert select_consistency_epoch([(1, float("nan")), (2, 0.5)]) == (2, 0.5)
+    assert select_consistency_epoch(
+        [(1, 0.9), (2, 0.05), (3, 0.4)]) == (2, 0.05)
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     n = 32
     x = jnp.asarray(sample_kle(2, n, 16, rng=rng)[..., None])
