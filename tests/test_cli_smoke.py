@@ -238,6 +238,34 @@ def test_train_cglow_init_from_cli(tmp_path):
     assert logger2["loss_train"][0] < 3 * logger["loss_train"][-1] + 100
 
 
+def test_predict_cglow_cli(tmp_path):
+    """Flow serving surface: train tiny cGlow (nonzero weight decay guards
+    the restore-template opt_state structure), then batch-predict the
+    labeled val file's predictive mean/std and check the NCHW layout."""
+    import h5py
+    from pde_surrogate_tpu.cli.predict_cglow import main as predict_main
+    from pde_surrogate_tpu.cli.train_cglow_reverse_kl import main as train_main
+    train_main(_common(tmp_path, [
+        "--kle", "64", "--ntrain", "16", "--ntest", "8", "--imsize", "16",
+        "--enc-blocks", "2,2", "--flow-blocks", "2,2", "--batch-size", "8",
+        "--test-batch-size", "8", "--epochs", "2", "--ckpt-freq", "2",
+        "--weight-decay", "1e-4"]))
+    run_dir = next((tmp_path / "experiments" / "cglow" /
+                    "reverse_kld").iterdir())
+    val = tmp_path / "datasets" / "16x16" / "kle64_lhs1000_val.hdf5"
+    out = tmp_path / "pred.hdf5"
+    mean, std, rel_l2, r2 = predict_main([
+        "--run-dir", str(run_dir), "--input", str(val),
+        "--output", str(out), "--batch-size", "4", "--n-samples", "3"])
+    assert mean.shape == (8, 16, 16, 3) and std.shape == mean.shape
+    assert (std >= 0).all()
+    assert rel_l2.shape == (3,) and r2.shape == (3,)
+    with h5py.File(out) as f:
+        assert f["input"].shape == (8, 1, 16, 16)
+        assert f["output"].shape == (8, 3, 16, 16)
+        assert f["output_std"].shape == (8, 3, 16, 16)
+
+
 def test_train_cglow_and_post_cli(tmp_path):
     """train_cglow_reverse_kl -> post_cglow chained: checkpoint restore +
     all five UQ tasks through argv (reference post_cglow.py)."""
