@@ -175,4 +175,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    # transient "TPU backend error (Internal)" / UNAVAILABLE blips happen on
+    # this platform (CLAUDE.md); the driver runs bench ONCE per round, so a
+    # blip would cost the round's benchmark. Retry in a FRESH process (the
+    # backend state is not trustworthy after an RPC failure).
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "1"))
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — last-resort round-saver
+        if attempt >= 3:
+            raise
+        sleep_s = float(os.environ.get("BENCH_RETRY_SLEEP", "60"))
+        print(f"[bench] attempt {attempt} failed: {type(e).__name__}: {e} — "
+              f"re-exec in {sleep_s:.0f}s", file=sys.stderr)
+        time.sleep(sleep_s)
+        os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
