@@ -13,4 +13,14 @@ for attempt in 1 2; do
     > logs/mle_channelized.log 2>&1 && break
   sleep 60
 done
+# matched-config JAX leg of the channelized torch A/B (the torch side runs
+# on this host's CPU into logs/ab_torch_channelized.log): same data files,
+# ntrain 512, 100 ep, bs 32 — the kle512 A/B protocol (docs/RESULTS.md)
+for attempt in 1 2; do
+  bash tools/tpu_gate.sh
+  timeout 1800 python -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
+    --data channelized --ntrain 512 --ntest 512 --batch-size 32 \
+    --epochs 100 --seed 1 --run 30 > logs/ab_jax_channelized.log 2>&1 && break
+  sleep 60
+done
 echo done > logs/campaign_r2x.done
