@@ -1,10 +1,10 @@
 #!/bin/bash
-# Campaign S (after R), restructured: the first ext2 attempt hung in
+# Campaign S (after X), restructured: the first ext2 attempt hung in
 # model init on a TPU RPC (killed by hand, 20:36-21:05 UTC instability).
 # Retrain the second cGlow kle512@64 extension (2 attempts), then run the
 # full UQ suite on it.
 cd /root/repo || exit 1
-while [ ! -f logs/campaign_r2t.done ]; do sleep 120; done
+while [ ! -f logs/campaign_r2x.done ]; do sleep 120; done
 src="experiments/cglow/reverse_kld_ext/kle512_ntrain8192_ENC_blocks[3, 3, 3, 3]_FLOW_blocks[4, 4, 4, 4]_wb50.0_beta150.0_batch32_lr0.0002_epochs200"
 for attempt in 1 2; do
   bash tools/tpu_gate.sh

@@ -1,11 +1,11 @@
 #!/bin/bash
-# Campaign X (after S): channelized SUPERVISED ceiling. RESULTS.md has the
+# Campaign X (after T, before S): channelized SUPERVISED ceiling. RESULTS.md has the
 # kle512 supervised-vs-label-free comparison but no channelized analog, so
 # the channelized label-free row (R^2 0.77/0.78/0.46) has no measured
 # ceiling separating objective-identifiability loss from model/data limits.
 # One leg: codec max-likelihood on channelized, reference-canonical 200 ep.
 cd /root/repo || exit 1
-while [ ! -f logs/campaign_r2s.done ]; do sleep 120; done
+while [ ! -f logs/campaign_r2t.done ]; do sleep 120; done
 for attempt in 1 2; do
   bash tools/tpu_gate.sh
   timeout 3600 python -m pde_surrogate_tpu.cli.train_codec_max_likelihood \
