@@ -38,6 +38,9 @@ def main(argv=None):
     parser.add_argument("--var-samples", type=int, default=10)
     parser.add_argument("--n-pred", type=int, default=6)
     parser.add_argument("--num-loc", type=int, default=6)
+    parser.add_argument("--plot-samples", action="store_true",
+                        help="plot predictive output samples per input "
+                             "(reference post_cglow.py:20)")
     args = parser.parse_args(argv)
 
     # several large flow executables (sample/generate/propagate) compile on
@@ -94,7 +97,7 @@ def main(argv=None):
                     stats["y_variation"], post_dir, run_args.imsize,
                     batch_size=args.batch_size, ntrain=run_args.ntrain,
                     epochs=run_args.epochs)
-    uq.plot_prediction_at_x(args.n_pred, plot_samples=True)
+    uq.plot_prediction_at_x(args.n_pred, plot_samples=args.plot_samples)
     uq.plot_dist(args.num_loc)
     uq.test_metric(handle_nan=True)
     uq.plot_reliability_diagram()

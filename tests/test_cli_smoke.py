@@ -282,7 +282,8 @@ def test_train_cglow_and_post_cli(tmp_path):
     assert len(runs) == 1
     uq = post_main(["--run-dir", str(runs[0]), "--n-monte-carlo", "8",
                     "--ntest", "8", "--batch-size", "4", "--n-samples", "3",
-                    "--var-samples", "2", "--n-pred", "1", "--num-loc", "2"])
+                    "--var-samples", "2", "--n-pred", "1", "--num-loc", "2",
+                    "--plot-samples"])
     post_dir = runs[0] / "post_proc_epoch2"
     rel = np.loadtxt(post_dir / "nrmse_test.txt")
     assert rel.shape == (3,) and np.isfinite(rel).all()
