@@ -58,10 +58,12 @@ def kle_basis(n: int, n_terms: int, length_scale: float = 0.25) -> KLEBasis:
     w1, v1 = np.linalg.eigh(c1)
     order = np.argsort(w1)[::-1]
     w1, v1 = w1[order], v1[:, order]
-    # keep all n 1-D pairs (the eigh already paid for them): a sqrt(n_terms)
-    # candidate grid would exclude anisotropic pairs like (0, j>sqrt) whose
-    # products outrank deep-interior ones — at kle512/n=64 that dropped 166
-    # of the true top-512 modes (~2.3% of the retained energy)
+    # keep min(n, n_terms) 1-D pairs per axis: any product using a 1-D index
+    # >= n_terms is outranked by >= n_terms larger products, so the true
+    # top-n_terms selection never needs more.  (A sqrt(n_terms) grid is NOT
+    # enough: anisotropic pairs like (0, j>sqrt) outrank deep-interior ones —
+    # at kle512/n=64 that dropped 166 of the true top-512 modes, ~2.3% of
+    # the retained energy.)
     m = min(n, n_terms)
     w1, v1 = w1[:m], v1[:, :m]
     # discrete eigenvectors are orthonormal wrt counting measure; rescale so
@@ -187,6 +189,8 @@ def sample_channelized(n_samples: int, n: int,
     ay = vy * np.sqrt(wy)[None, :] * np.sqrt(n)
     ax = vx * np.sqrt(wx)[None, :] * np.sqrt(n)
     xi = rng.standard_normal((n_samples, n, n))
-    g = np.einsum("yi,bij,xj->byx", ay, xi, ax)
+    # optimize=True factors into two O(B n^3) GEMMs; the default single
+    # C loop is O(B n^4) — minutes vs seconds at 10k samples on one core
+    g = np.einsum("yi,bij,xj->byx", ay, xi, ax, optimize=True)
     return np.where(g > np.median(g, axis=(1, 2), keepdims=True),
                     k_high, k_low).astype(np.float32)

@@ -37,6 +37,11 @@ __all__ = ["solve_darcy", "solve_darcy_batch", "solve_nonlinear_darcy",
            "darcy_fields"]
 
 
+def _harm(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Harmonic mean — THE face-conductivity convention everywhere."""
+    return 2.0 * a * b / (a + b)
+
+
 def _face_conductivities(K: jax.Array):
     """Harmonic-mean conductivities on east/west/north/south faces.
 
@@ -44,12 +49,27 @@ def _face_conductivities(K: jax.Array):
     Returns (aE, aW, aN, aS) with zero entries where the face leaves the
     domain (top/bottom => built-in zero Neumann flux).
     """
-    harm = lambda a, b: 2.0 * a * b / (a + b)
-    aE = jnp.zeros_like(K).at[:, :-1].set(harm(K[:, :-1], K[:, 1:]))
-    aW = jnp.zeros_like(K).at[:, 1:].set(harm(K[:, 1:], K[:, :-1]))
-    aS = jnp.zeros_like(K).at[:-1, :].set(harm(K[:-1, :], K[1:, :]))
-    aN = jnp.zeros_like(K).at[1:, :].set(harm(K[1:, :], K[:-1, :]))
+    aE = jnp.zeros_like(K).at[:, :-1].set(_harm(K[:, :-1], K[:, 1:]))
+    aW = jnp.zeros_like(K).at[:, 1:].set(_harm(K[:, 1:], K[:, :-1]))
+    aS = jnp.zeros_like(K).at[:-1, :].set(_harm(K[:-1, :], K[1:, :]))
+    aN = jnp.zeros_like(K).at[1:, :].set(_harm(K[1:, :], K[:-1, :]))
     return aE, aW, aN, aS
+
+
+def _faces_to_nodes(fx: jax.Array, fy: jax.Array):
+    """Average face fluxes to nodes; zero vertical flux on top/bottom walls.
+
+    The load-bearing label convention (CLAUDE.md): conservative face fluxes
+    averaged to nodes, one-sided (edge-replicated) at the domain boundary,
+    exact Neumann values on the horizontal walls.  Shared by the linear
+    (darcy_fields) and nonlinear (solve_nonlinear_darcy) label paths so the
+    convention cannot diverge.
+    """
+    pad = lambda a, w: jnp.pad(a, ((0, 0),) * (a.ndim - 2) + w, mode="edge")
+    sigma1 = (pad(fx, ((0, 0), (0, 1))) + pad(fx, ((0, 0), (1, 0)))) / 2.0
+    sigma2 = (pad(fy, ((0, 1), (0, 0))) + pad(fy, ((1, 0), (0, 0)))) / 2.0
+    sigma2 = sigma2.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
+    return sigma1, sigma2
 
 
 def _apply_operator(v: jax.Array, faces) -> jax.Array:
@@ -82,6 +102,15 @@ def solve_darcy(K: jax.Array, tol: float = 1e-8, maxiter: int = 4000) -> jax.Arr
 
     Jacobi-preconditioned CG on the eliminated-Dirichlet system; fully
     jittable and vmap-able.
+
+    Honesty note on ``tol``: in f32 (the framework default) a relative
+    residual of 1e-8 is below the rounding floor (measured ~6.5e-6 at 64x64,
+    kle512 AND channelized), so the stopping test never fires and the solve
+    runs ``maxiter`` iterations — converging to the f32 floor by ~400 of
+    them (the iterates are bitwise stationary after that).  That is the
+    maximally accurate f32 answer; the extra iterations cost ~8 ms per
+    64x64 field on one CPU core and nothing on the TPU fast path (which
+    uses the fixed-iteration Pallas kernel instead).
     """
     n = K.shape[-1]
     faces = _face_conductivities(K)
@@ -132,19 +161,11 @@ def darcy_fields(K: jax.Array, u: jax.Array) -> jax.Array:
     """
     n = K.shape[-1]
     h = 1.0 / (n - 1)
-    harm = lambda a, b: 2.0 * a * b / (a + b)
     # horizontal face fluxes on vertical faces, (n, n-1)
-    fx = -harm(K[..., :, :-1], K[..., :, 1:]) * (u[..., :, 1:] - u[..., :, :-1]) / h
+    fx = -_harm(K[..., :, :-1], K[..., :, 1:]) * (u[..., :, 1:] - u[..., :, :-1]) / h
     # vertical face fluxes on horizontal faces, (n-1, n)
-    fy = -harm(K[..., :-1, :], K[..., 1:, :]) * (u[..., 1:, :] - u[..., :-1, :]) / h
-    # node values: mean of adjacent faces; one-sided at the domain edge
-    # (pad widths are ndim-aware so direct batched calls work too)
-    pad = lambda a, w: jnp.pad(a, ((0, 0),) * (a.ndim - 2) + w, mode="edge")
-    sigma1 = (pad(fx, ((0, 0), (0, 1))) + pad(fx, ((0, 0), (1, 0)))) / 2.0
-    sigma2 = (pad(fy, ((0, 1), (0, 0))) + pad(fy, ((1, 0), (0, 0)))) / 2.0
-    # zero vertical flux through the top/bottom walls (Neumann BC exactly,
-    # matching the mixed-FEM labels' boundary values)
-    sigma2 = sigma2.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
+    fy = -_harm(K[..., :-1, :], K[..., 1:, :]) * (u[..., 1:, :] - u[..., :-1, :]) / h
+    sigma1, sigma2 = _faces_to_nodes(fx, fy)
     return jnp.stack([u, sigma1, sigma2], axis=-3)
 
 
@@ -238,36 +259,47 @@ def solve_nonlinear_darcy(K: jax.Array, alpha1: float = 1.0,
 
     Replaces utils/fenics.py:13-91 (DRT x CG mixed elements + Newton).
     """
+    if alpha2 < (alpha1 ** 2) / 3.0 - 1e-12:
+        # f'(sigma) = 1 + 2 a1 sqrt(K) s + 3 a2 K s^2 must have no real
+        # roots or the componentwise Newton can divide by ~0 / pick a wrong
+        # root and the implicit JVP blows up — fail fast on user alphas
+        raise ValueError(
+            f"nonlinear law needs alpha2 >= alpha1^2/3 for monotonicity "
+            f"(got alpha1={alpha1}, alpha2={alpha2}, "
+            f"alpha1^2/3={alpha1 ** 2 / 3.0:.4g})")
     n = K.shape[-1]
     h = 1.0 / (n - 1)
     mask = _interior_mask(n)
     u_d = jnp.zeros((n, n), K.dtype).at[:, 0].set(1.0)
 
     # face permeabilities (harmonic) and zero flux through top/bottom walls
-    harm = lambda a, b: 2.0 * a * b / (a + b)
-    Kx = harm(K[:, :-1], K[:, 1:])          # vertical faces, (n, n-1)
-    Ky = harm(K[:-1, :], K[1:, :])          # horizontal faces, (n-1, n)
+    Kx = _harm(K[:, :-1], K[:, 1:])         # vertical faces, (n, n-1)
+    Ky = _harm(K[:-1, :], K[1:, :])         # horizontal faces, (n-1, n)
 
-    def residual(v):
+    def fluxes(v):
         u = u_d + v * mask
         gx = (u[:, 1:] - u[:, :-1]) / h     # du/dx on vertical faces
         gy = (u[1:, :] - u[:-1, :]) / h     # du/dy on horizontal faces
-        sx = _sigma_from_grad(Kx, gx, alpha1, alpha2)
-        sy = _sigma_from_grad(Ky, gy, alpha1, alpha2)
-        div = (jnp.pad(sx, ((0, 0), (0, 1)))[:, :] - jnp.pad(sx, ((0, 0), (1, 0)))[:, :]
+        return (_sigma_from_grad(Kx, gx, alpha1, alpha2),
+                _sigma_from_grad(Ky, gy, alpha1, alpha2))
+
+    def div_of(sx, sy):
+        div = (jnp.pad(sx, ((0, 0), (0, 1))) - jnp.pad(sx, ((0, 0), (1, 0)))
                + jnp.pad(sy, ((0, 1), (0, 0))) - jnp.pad(sy, ((1, 0), (0, 0))))
         return div / h * mask
 
+    def residual(v):
+        return div_of(*fluxes(v))
+
     def newton_step(_, v):
-        r = residual(v)
+        # ONE flux solve feeds both the residual and the preconditioner
+        # (each _sigma_from_grad is a 20-sweep cubic solve; XLA does not
+        # reliably CSE two separately-traced loops)
+        sx, sy = fluxes(v)
+        r = div_of(sx, sy)
         jac = lambda dv: jax.jvp(residual, (v,), (dv,))[1]
         # Jacobi preconditioner from the linearized face conductivities
         # K_eff = K / f'(sigma): diag(J) ~= sum of adjacent K_eff / h^2.
-        u = u_d + v * mask
-        gx = (u[:, 1:] - u[:, :-1]) / h
-        gy = (u[1:, :] - u[:-1, :]) / h
-        sx = _sigma_from_grad(Kx, gx, alpha1, alpha2)
-        sy = _sigma_from_grad(Ky, gy, alpha1, alpha2)
         kx_eff = Kx / (1.0 + 2.0 * alpha1 * jnp.sqrt(Kx) * sx
                        + 3.0 * alpha2 * Kx * sx * sx)
         ky_eff = Ky / (1.0 + 2.0 * alpha1 * jnp.sqrt(Ky) * sy
@@ -290,7 +322,10 @@ def solve_nonlinear_darcy(K: jax.Array, alpha1: float = 1.0,
             norm = jnp.sum(rc * rc)
             better = norm < best_norm
             best_v = jnp.where(better, cand, best_v)
-            best_norm = jnp.minimum(norm, best_norm)
+            # NOT jnp.minimum: a NaN candidate norm (overflowed full step on
+            # rough fields) would poison best_norm and reject every smaller
+            # damped step — the exact case the damping exists for
+            best_norm = jnp.where(better, norm, best_norm)
         return best_v
 
     # warm start from the linear-law solution — close to the nonlinear one
@@ -300,15 +335,7 @@ def solve_nonlinear_darcy(K: jax.Array, alpha1: float = 1.0,
     v = jax.lax.fori_loop(0, newton_iters, newton_step, v0)
     u = u_d + v * mask
     # conservative face fluxes averaged to nodes — the SAME label convention
-    # as the linear path (darcy_fields): the nonlinear law on nodal FD
-    # gradients would violate continuity at O(1) on rough fields
-    gx = (u[:, 1:] - u[:, :-1]) / h
-    gy = (u[1:, :] - u[:-1, :]) / h
-    sx = _sigma_from_grad(Kx, gx, alpha1, alpha2)
-    sy = _sigma_from_grad(Ky, gy, alpha1, alpha2)
-    sigma1 = (jnp.pad(sx, ((0, 0), (0, 1)), mode="edge")
-              + jnp.pad(sx, ((0, 0), (1, 0)), mode="edge")) / 2.0
-    sigma2 = (jnp.pad(sy, ((0, 1), (0, 0)), mode="edge")
-              + jnp.pad(sy, ((1, 0), (0, 0)), mode="edge")) / 2.0
-    sigma2 = sigma2.at[0, :].set(0.0).at[-1, :].set(0.0)
+    # as the linear path (shared _faces_to_nodes): the nonlinear law on
+    # nodal FD gradients would violate continuity at O(1) on rough fields
+    sigma1, sigma2 = _faces_to_nodes(*fluxes(v))
     return jnp.stack([u, sigma1, sigma2], axis=0)

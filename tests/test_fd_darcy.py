@@ -92,6 +92,32 @@ def test_nonlinear_random_k_bounded(rng):
     np.testing.assert_allclose(out[0][:, -1], 0.0, atol=1e-4)
 
 
+def test_nonlinear_rejects_nonmonotone_alphas():
+    """alpha2 < alpha1^2/3 makes f'(sigma) lose positivity — the
+    componentwise Newton and implicit JVP both depend on it; fail fast."""
+    import pytest
+    K = jnp.ones((8, 8))
+    with pytest.raises(ValueError, match="monotonicity"):
+        solve_nonlinear_darcy(K, alpha1=2.0, alpha2=1.0)
+    # boundary of the admissible region is fine
+    solve_nonlinear_darcy(K, alpha1=1.0, alpha2=1.0 / 3.0, newton_iters=1)
+
+
+def test_nonlinear_damping_survives_nan_candidate():
+    """A NaN residual on the full step must not poison the backtracking
+    search (regression: jnp.minimum propagated NaN into best_norm and
+    rejected every damped candidate, silently returning the warm start)."""
+    n = 16
+    # extreme contrast to stress the full-step candidate
+    K = jnp.ones((n, n)).at[:, n // 2:].set(1e4)
+    out = np.asarray(solve_nonlinear_darcy(K, 1.0, 1.0))
+    assert np.isfinite(out).all()
+    # the nonlinear solve must move off the linear warm start: at these
+    # alphas the flux law differs at O(1), so sigma must differ too
+    lin = np.asarray(darcy_fields(K, solve_darcy(K)))
+    assert np.abs(out[1] - lin[1]).max() > 1e-4
+
+
 def test_nonlinear_constant_k():
     """K = 1, alpha1 = alpha2 = 1: by symmetry u is 1-D in x; the flux law
     changes the profile but BCs and monotonicity must hold, and the
