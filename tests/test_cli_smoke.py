@@ -86,7 +86,7 @@ def test_solve_fc_cli(tmp_path):
     params, logger, target = main(_common(tmp_path, [
         "--imsize", "16", "--kle", "128", "--idx", "1", "--dim-hidden", "32",
         "--layers-hidden", "2", "--n-colloc", "256", "--epochs", "3",
-        "--test-freq", "3"]))
+        "--test-freq", "3", "--adam-warmup", "20"]))
     assert len(logger["loss"]) == 3
     assert logger["loss"][-1] <= logger["loss"][0]
     assert target.shape == (3, 16, 16)
@@ -96,7 +96,7 @@ def test_solve_conv_cli(tmp_path):
     from pde_surrogate_tpu.cli.solve_conv_mixed_residual import main
     params, logger, target = main(_common(tmp_path, [
         "--imsize", "16", "--kle", "128", "--idx", "1", "--blocks", "2,2",
-        "--epochs", "2", "--test-freq", "2"]))
+        "--epochs", "2", "--test-freq", "2", "--adam-warmup", "20"]))
     assert len(logger["loss"]) == 2
     assert np.isfinite(logger["loss"]).all()
 
@@ -120,7 +120,10 @@ def test_solve_conv_nonlinear_cli(tmp_path):
     argv = _common(tmp_path, [
         "--imsize", "16", "--kle", "128", "--idx", "1", "--blocks", "2,2",
         "--epochs", "2", "--test-freq", "2", "--nonlinear",
-        "--alpha1", "0.5", "--alpha2", "0.5"])
+        "--alpha1", "0.5", "--alpha2", "0.5",
+        # tiny warmup: the 20k-step default costs minutes on one CPU core
+        # and is exercised separately by test_solve_conv_warmup_zoom_cli
+        "--adam-warmup", "20"])
     params, logger, target = main(argv)
     assert target.shape == (3, 16, 16) and np.isfinite(target).all()
     # nonlinear oracle obeys the BCs: u(:,0)=1, u(:,-1)=0, sigma2 = 0 walls
