@@ -259,6 +259,15 @@ def main(argv=None):
                       "stopping early at the best-seen params")
                 params = best_params
                 break
+            if fixed and bad_restarts >= 60:
+                # each fixed restart rebuilds the jitted epoch (lr is baked
+                # into the executable — a fresh 20-200 s remote compile per
+                # halving); by 60 consecutive halvings the step has
+                # underflowed anyway, so stop burning compiles
+                print("fixed-step L-BFGS re-diverged 60x consecutively; "
+                      "stopping early at the best-seen params")
+                params = best_params
+                break
             continue
         bad_restarts = 0
         if loss < best_loss:

@@ -183,7 +183,12 @@ def reconstruct_pressure(input: jax.Array, output: jax.Array) -> jax.Array:
     K = input[..., 0]
     n = output.shape[-2]
     dudx = -output[..., 1] / K
-    mids = 0.5 * (dudx[:, :, 1:] + dudx[:, :, :-1]) / (n - 1)
+    # spacing 1/n, NOT 1/(n-1): the constitutive loss drives sigma1 toward
+    # -K * sobel.grad_h(u) and the Sobel operators scale by imsize n
+    # (reference convention, ops/filters.py) — integrating with 1/n inverts
+    # that convention exactly, so a perfectly self-consistent net scores 0
+    # instead of an n/(n-1) floor (~0.008 rel-L2 at n=64)
+    mids = 0.5 * (dudx[:, :, 1:] + dudx[:, :, :-1]) / n
     cum = jnp.concatenate(
         [jnp.zeros_like(mids[:, :, :1]), jnp.cumsum(mids, axis=2)], axis=2)
     u_left = 1.0 + cum                 # anchored at u(x=0) = 1
@@ -242,15 +247,21 @@ def bilinear_interpolate(im: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array
     return ia * wa + ib * wb + ic * wc + id_ * wd
 
 
-def _pointwise_jac(model_fn: Callable, params, x: jax.Array) -> jax.Array:
-    """Per-point Jacobian dy/dx: (N, out_dim, 2) via vmapped jacfwd.
+def _pointwise_val_jac(model_fn: Callable, params, x: jax.Array):
+    """Per-point (value, Jacobian dy/dx): ((N, out), (N, out, 2)).
 
     Replaces the reference's repeated ``autograd.grad(..., create_graph=True)``
     calls (models/darcy.py:13-15): forward-mode over the 2-D input is exact,
-    cheap (2 JVPs), and fuses into one batched XLA computation.
+    cheap (2 JVPs), and fuses into one batched XLA computation.  ``has_aux``
+    returns the primal from the same evaluation, so the caller pays no
+    separate forward pass for the network outputs.
     """
-    jac_single = jax.jacfwd(lambda pt: model_fn(params, pt[None, :])[0])
-    return jax.vmap(jac_single)(x)
+    def f(pt):
+        out = model_fn(params, pt[None, :])[0]
+        return out, out
+
+    jac, val = jax.vmap(jax.jacfwd(f, has_aux=True))(x)
+    return val, jac
 
 
 def mixed_residual_fc(model_fn: Callable, params, x: jax.Array, K: jax.Array,
@@ -269,8 +280,7 @@ def mixed_residual_fc(model_fn: Callable, params, x: jax.Array, K: jax.Array,
 
     Returns constitutive + continuity scalar loss.
     """
-    y = model_fn(params, x)
-    u_x = _pointwise_jac(model_fn, params, x)  # (N, 3, 2)
+    y, u_x = _pointwise_val_jac(model_fn, params, x)  # (N, 3), (N, 3, 2)
     tau = y[:, 1:3]
     grad_u = u_x[:, 0, :]                       # (N, 2) = (du/dy, du/dx)
     grad_tau_ver = u_x[:, 1, 0]                 # d tau_ver / dy
@@ -331,10 +341,11 @@ def neumann_boundary_mixed(model_fn: Callable, params, x: jax.Array) -> jax.Arra
 def neumann_boundary(model_fn: Callable, params, x: jax.Array) -> jax.Array:
     """Primal-form Neumann penalty mean((du/dy)^2) on top/bottom points.
 
-    The reference version differentiates the wrong coordinate — flagged by
-    the author ("bug: u_y! NOT u_x", models/darcy.py:80-85; its drivers only
-    use the mixed variant).  This implementation differentiates the vertical
-    coordinate (index 0 of the (y, x) point) as intended.
+    Parity note: the reference's "bug: u_y! NOT u_x" comment
+    (models/darcy.py:81) records an already-fixed issue — its code indexes
+    coordinate 0, which IS y under the (y, x) point ordering.  This
+    implementation matches that behavior (du/dy); neither repo's drivers
+    use the primal variant (they use neumann_boundary_mixed).
     """
     def u_single(pt):
         return model_fn(params, pt[None, :])[0, 0]

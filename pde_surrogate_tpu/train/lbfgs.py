@@ -71,8 +71,11 @@ def lbfgs_optimizer(memory_size: int = 50,
     stalls in the first shallow basin at 3.6-19), but after a ~20k-step
     Adam warmup zoom polishes 0.041 -> 0.011 cleanly — the start point,
     not the linesearch, was the problem.  The drivers therefore default to
-    Adam warmup + zoom; ``learning_rate=0.5`` + fixed steps reproduces the
-    reference's optimizer exactly.
+    Adam warmup + zoom; ``learning_rate=0.5`` + fixed steps matches the
+    reference optimizer's semantics (same lr, history, fixed step) but not
+    its exact trajectory: torch LBFGS damps its FIRST step by
+    min(1, 1/||g||_1)·lr while optax caps the initial identity scaling by
+    a reciprocal gradient norm — the two differ from iterate one.
 
     ``learning_rate=None`` switches to zoom linesearch (use
     ``make_lbfgs_epoch(..., with_linesearch=True)`` with it).
@@ -81,7 +84,12 @@ def lbfgs_optimizer(memory_size: int = 50,
         return optax.lbfgs(
             learning_rate=None,
             memory_size=memory_size,
-            linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=20),
+            # "one" (optax.lbfgs's own default) restarts each search from
+            # the quasi-Newton unit step; the "keep" default of the raw
+            # linesearch would seed from the previous accepted step, so one
+            # tiny early-accepted step poisons every later search
+            linesearch=optax.scale_by_zoom_linesearch(
+                max_linesearch_steps=20, initial_guess_strategy="one"),
         )
     return optax.lbfgs(learning_rate=learning_rate, memory_size=memory_size,
                        linesearch=None)
