@@ -100,7 +100,9 @@ def actnorm_stats_to_params(stats_tree, params_tree):
             if key == "input" and isinstance(val, (tuple, list, jnp.ndarray)):
                 x = val[0] if isinstance(val, (tuple, list)) else val
                 mean = x.mean(axis=tuple(range(x.ndim - 1)))
-                std = x.std(axis=tuple(range(x.ndim - 1))) + 1e-6
+                # ddof=1: torch .std() is Bessel-corrected
+                # (models/glow_msc.py:75); jnp defaults to ddof=0
+                std = x.std(axis=tuple(range(x.ndim - 1)), ddof=1) + 1e-6
                 params_node["weight"] = 1.0 / std
                 params_node["bias"] = -(mean / std)
             elif isinstance(val, dict):
@@ -164,8 +166,10 @@ class InvConv1x1LU(nn.Module):
         def factor(key):
             w = jax.random.normal(key, (c, c), jnp.float32)
             q, _ = jnp.linalg.qr(w)
-            lu, piv, _ = jax.lax.linalg.lu(q)
-            p = _pivots_to_permutation_matrix(piv, c)
+            # lu's third output IS the row permutation: q[perm] = L @ U,
+            # so q = P L U with P = eye[perm].T — no ipiv decoding needed
+            lu, _, perm = jax.lax.linalg.lu(q)
+            p = jnp.eye(c)[perm].T
             l = jnp.tril(lu, -1) + jnp.eye(c)
             u = jnp.triu(lu)
             s = jnp.diag(u)
@@ -210,18 +214,6 @@ class InvConv1x1LU(nn.Module):
         logdet = -log_applied if reverse else log_applied
         y = jnp.einsum("...c,oc->...o", x, kernel)
         return y, logdet
-
-
-def _pivots_to_permutation_matrix(piv, n):
-    perm = jnp.arange(n)
-
-    def body(i, perm):
-        j = piv[i]
-        pi, pj = perm[i], perm[j]
-        return perm.at[i].set(pj).at[j].set(pi)
-
-    perm = jax.lax.fori_loop(0, piv.shape[0], body, perm)
-    return jnp.eye(n)[perm].T
 
 
 class Conv2dZeros(nn.Module):

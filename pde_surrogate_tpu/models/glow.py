@@ -21,7 +21,6 @@ flow.Squeeze.)
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import flax.linen as nn
@@ -29,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .codec import DenseBlock, DenseLayer, Transition, module_size
+from .codec import DenseBlock, DenseLayer, Transition
 from .flow import (Conv2dZeros, FirstRevBlock, RevBlock, gaussian_diag)
 
 __all__ = ["InputEncoder", "MultiScaleCondGlow", "encoder_feature_sizes",
@@ -45,10 +44,10 @@ def glow_z_shapes(img_size, y_channels: int, flow_blocks: Sequence[int],
     n_features = y_channels
     z_shapes = []
     for _ in range(len(flow_blocks) - 2):
-        feature_size = [fs // 2 for fs in feature_size]
+        feature_size = [fs // factor for fs in feature_size]
         n_features = n_features * factor ** 2 // 2
         z_shapes.append((feature_size[0], feature_size[1], n_features))
-    feature_size = [fs // 2 for fs in feature_size]
+    feature_size = [fs // factor for fs in feature_size]
     z_shapes.append((feature_size[0], feature_size[1],
                      n_features * factor ** 2))
     return z_shapes
@@ -57,11 +56,17 @@ def glow_z_shapes(img_size, y_channels: int, flow_blocks: Sequence[int],
 def encoder_feature_sizes(in_channels: int, blocks: Sequence[int],
                           growth_rate: int = 16, init_features: int = 48):
     """Static per-scale conditioning channel counts (replaces the reference's
-    dummy-forward probe, models/glow_msc.py:537-550)."""
+    dummy-forward probe, models/glow_msc.py:537-550).
+
+    Scale 0 = in_channels + (init_features - 1) in_conv maps +
+    (num_layers - 1) dense layers — equal to the familiar
+    ``init_features + (n-1)·growth`` only when in_channels == 1.
+    """
     sizes = []
     for i, num_layers in enumerate(blocks):
         if i == 0:
-            num_features = init_features + (num_layers - 1) * growth_rate
+            num_features = (in_channels + init_features - 1
+                            + (num_layers - 1) * growth_rate)
         else:
             num_features = num_features + num_layers * growth_rate
         sizes.append(num_features)
@@ -117,7 +122,9 @@ class InputEncoder(nn.Module):
                 x = DenseBlockInput(num_layers, self.init_features,
                                     self.growth_rate, self.drop_rate,
                                     name=f"dense_block{i + 1}")(x, train)
-                num_features = (self.init_features
+                # DenseBlockInput concatenates the input itself with its
+                # (init_features - 1) in_conv maps, so in_channels counts
+                num_features = (self.in_channels + self.init_features - 1
                                 + (num_layers - 1) * self.growth_rate)
                 bottleneck = False
             else:
@@ -161,13 +168,20 @@ class MultiScaleCondGlow(nn.Module):
                 f"enc_blocks and flow_blocks must have equal length "
                 f"(train_cglow_reverse_kl.py:72), got "
                 f"{len(self.enc_blocks)} vs {len(self.flow_blocks)}")
-        img = (self.img_size if isinstance(self.img_size, int)
-               else min(self.img_size))
+        if self.squeeze_factor != 2:
+            # the InputEncoder pyramid downsamples 2x per scale; a flow
+            # squeeze factor != 2 would desynchronize conditioning and flow
+            # resolutions (the reference is also factor-2 only in practice)
+            raise ValueError(
+                f"squeeze_factor must be 2 (got {self.squeeze_factor}): "
+                f"the conditioning pyramid halves resolution per scale")
+        dims = ([self.img_size] * 2 if isinstance(self.img_size, int)
+                else list(self.img_size))
         scales = self.squeeze_factor ** (len(self.flow_blocks) - 1)
-        if img % scales:
+        if any(d % scales for d in dims):
             raise ValueError(
                 f"img_size {self.img_size} must be divisible by "
-                f"squeeze_factor^(n_blocks-1) = {scales} "
+                f"squeeze_factor^(n_blocks-1) = {scales} in BOTH dims "
                 f"(models/glow_msc.py:415)")
         z_shapes = glow_z_shapes(self.img_size, self.y_channels,
                                  self.flow_blocks, self.squeeze_factor)
@@ -252,9 +266,21 @@ class MultiScaleCondGlow(nn.Module):
             if key is None:
                 raise ValueError("generate() needs key or eps_list")
             eps_list = [e[0] for e in self.create_noise(key, 1, x.shape[0])]
+        else:
+            self._check_eps(eps_list)
         conditions, cond_prior = self.encoder(x, train=train)
         return self._generate_from(conditions, cond_prior, eps_list,
                                    temperature, train)
+
+    def _check_eps(self, eps_list):
+        # one latent per split + the top latent (models/glow_msc.py:806
+        # asserts this; a wrong length would misalign eps with blocks and
+        # fail with an opaque shape error deep in the reverse flow)
+        want = len(self.flow_blocks) - 1
+        if len(eps_list) != want:
+            raise ValueError(
+                f"eps_list must have {want} entries (len(flow_blocks)-1: "
+                f"splits bottom-up, top latent last), got {len(eps_list)}")
 
     def sample(self, x, n_samples: int, key=None, eps_list=None,
                temperature: float | None = None, train: bool = False):
@@ -268,7 +294,11 @@ class MultiScaleCondGlow(nn.Module):
         if temperature is None:
             temperature = 0.7
         if eps_list is None:
+            if key is None:
+                raise ValueError("sample() needs key or eps_list")
             eps_list = self.create_noise(key, n_samples, x.shape[0])
+        else:
+            self._check_eps(eps_list)
         conditions, cond_prior = self.encoder(x, train=train)
 
         def one(eps):
@@ -279,17 +309,13 @@ class MultiScaleCondGlow(nn.Module):
 
     def create_noise(self, key, n_samples: int, batch_size: int):
         """Standard normals for every latent (models/glow_msc.py:893-904)."""
-        shapes = glow_z_shapes(self.img_size, self.y_channels,
-                               self.flow_blocks, self.squeeze_factor)
-        keys = jax.random.split(key, len(shapes))
+        keys = jax.random.split(key, len(self.z_shapes_))
         return [jax.random.normal(k, (n_samples, batch_size) + s)
-                for k, s in zip(keys, shapes)]
+                for k, s in zip(keys, self.z_shapes_)]
 
     def create_zero_noise(self, batch_size: int):
         """Zero eps for the cheap predictive mean (models/glow_msc.py:906-917)."""
-        shapes = glow_z_shapes(self.img_size, self.y_channels,
-                               self.flow_blocks, self.squeeze_factor)
-        return [jnp.zeros((batch_size,) + s) for s in shapes]
+        return [jnp.zeros((batch_size,) + s) for s in self.z_shapes_]
 
     def approx_pred_mean(self, x, train: bool = False):
         """All-Gaussians-at-mean approximation (models/glow_msc.py:831-837)."""

@@ -173,6 +173,51 @@ def test_glow_config_validation():
                                   flow_blocks=[2, 2, 2, 2])
     with _pytest.raises(ValueError, match="divisible"):
         bad_size.init(jax.random.key(0), y, x, train=False)
+    # non-square: BOTH dims must divide (min-dim-only check used to pass 24)
+    bad_rect = MultiScaleCondGlow(img_size=[16, 24], x_channels=1,
+                                  y_channels=3, enc_blocks=[2, 2, 2, 2, 2],
+                                  flow_blocks=[2, 2, 2, 2, 2])
+    with _pytest.raises(ValueError, match="BOTH"):
+        bad_rect.init(jax.random.key(0), _x((1, 16, 24, 3)),
+                      _x((1, 16, 24, 1)), train=False)
+    bad_factor = MultiScaleCondGlow(img_size=16, x_channels=1, y_channels=3,
+                                    enc_blocks=[2, 2], flow_blocks=[2, 2],
+                                    squeeze_factor=4)
+    with _pytest.raises(ValueError, match="squeeze_factor"):
+        bad_factor.init(jax.random.key(0), _x((1, 16, 16, 3)),
+                        _x((1, 16, 16, 1)), train=False)
+
+
+def test_glow_eps_list_length_guard():
+    """A wrong-length eps_list fails loudly (reference asserts this) instead
+    of an opaque shape error deep in the reverse flow."""
+    import pytest as _pytest
+    model = _tiny_glow()
+    x = _x((2, 16, 16, 1))
+    y0 = _x((2, 16, 16, 3), seed=1)
+    vs = model.init(jax.random.key(0), y0, x, train=False)
+    good = model.apply(vs, 2, method=model.create_zero_noise)
+    assert len(good) == 2  # len(flow_blocks) - 1
+    with _pytest.raises(ValueError, match="eps_list"):
+        model.apply(vs, x, eps_list=good[:1], train=False,
+                    method=model.generate, mutable=["batch_stats"])
+    with _pytest.raises(ValueError, match="needs key"):
+        model.apply(vs, x, 3, train=False, method=model.sample,
+                    mutable=["batch_stats"])
+
+
+def test_glow_multichannel_x():
+    """x_channels=2: encoder channel bookkeeping must match the actual
+    concat widths (silent drift regression)."""
+    model = MultiScaleCondGlow(img_size=16, x_channels=2, y_channels=3,
+                               enc_blocks=[2, 2, 2], flow_blocks=[2, 2, 2])
+    x = _x((2, 16, 16, 2))
+    y0 = _x((2, 16, 16, 3), seed=1)
+    vs = model.init(jax.random.key(0), y0, x, train=False)
+    y, logp = model.apply(vs, x, key=jax.random.key(1), train=False,
+                          method=model.generate, mutable=["batch_stats"])[0]
+    assert y.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(logp)).all()
 
 
 def test_glow_generate_forward_consistency():
