@@ -15,6 +15,9 @@ sys.path.insert(0, ".")
 
 from pde_surrogate_tpu.data.grf import sample_kle
 from pde_surrogate_tpu.models.codec import DenseED
+from pde_surrogate_tpu.utils.config import enable_compilation_cache
+
+enable_compilation_cache()
 from pde_surrogate_tpu.ops.filters import SobelFilter
 from pde_surrogate_tpu.train.codec_trainer import (create_state,
                                                    make_mixed_residual_step)
