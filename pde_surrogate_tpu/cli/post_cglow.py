@@ -98,6 +98,12 @@ def main(argv=None):
                     batch_size=args.batch_size, ntrain=run_args.ntrain,
                     epochs=run_args.epochs)
     uq.plot_prediction_at_x(args.n_pred, plot_samples=args.plot_samples)
+    from ..viz.plot import assemble_gif
+    gif = assemble_gif(os.path.join(post_dir, "predict_at_x"),
+                       os.path.join(post_dir, "cglow_pred_at_x.gif"),
+                       duration_ms=800)
+    if gif:
+        print(f"animation: {gif}")
     uq.plot_dist(args.num_loc)
     uq.test_metric(handle_nan=True)
     uq.plot_reliability_diagram()

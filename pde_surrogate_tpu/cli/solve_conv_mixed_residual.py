@@ -280,6 +280,11 @@ def main(argv=None):
     print(f"Finished optimization for {args.epochs} epochs using "
           f"{(time.time() - tic) / 60:.3f} minutes")
     save_stats(run_dir, logger, "loss")
+    if args.animate and not args.no_plot:
+        from ..viz.plot import assemble_gif
+        gif = assemble_gif(run_dir)
+        if gif:
+            print(f"animation: {gif}")
     return params, logger, target
 
 

@@ -192,6 +192,11 @@ def main(argv=None):
     print(f"Finished training {args.epochs} epochs in "
           f"{(time.time() - tic) / 60:.3f} minutes")
     save_stats(run_dir, logger, "loss")
+    if args.animate and not args.no_plot:
+        from ..viz.plot import assemble_gif
+        gif = assemble_gif(run_dir)
+        if gif:
+            print(f"animation: {gif}")
 
     if not args.no_plot:
         # super-resolution render (solve_fc_mixed_residual.py:202-213)

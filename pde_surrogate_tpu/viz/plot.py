@@ -22,7 +22,8 @@ import numpy as np  # noqa: E402
 
 __all__ = ["plot_prediction_det", "plot_prediction_det_animate",
            "plot_prediction_bayes2", "plot_MC2", "plot_UP", "save_stats",
-           "save_samples", "plot_row", "panel_grid"]
+           "save_samples", "plot_row", "panel_grid", "imagegrid_pairs",
+           "plot_prediction_bayes", "plot_MC", "assemble_gif"]
 
 EXT = "png"
 DPI = None
@@ -126,17 +127,80 @@ def plot_prediction_bayes2(save_dir, target, pred_mean, pred_var, epoch,
                plot_fn, cmap, same_scale)
 
 
+def imagegrid_pairs(top_pairs, bottom_pairs, path, plot_fn="contourf",
+                    cmap="jet", figsize=(11, 12)):
+    """The reference's ImageGrid layout (utils/plot.py:276-374, 377-474).
+
+    A 2x3 outer grid of vertical (2,1) ImageGrids: the top three cells show
+    ``top_pairs[i]`` = (a, b) per channel with ONE shared colorbar per cell;
+    the bottom three show ``bottom_pairs[i]`` with a free colorbar per axis.
+    """
+    from mpl_toolkits.axes_grid1 import ImageGrid
+
+    sfmt = ticker.ScalarFormatter(useMathText=True)
+    sfmt.set_powerlimits((-2, 2))
+    fig = plt.figure(1, figsize)
+    for i, cell in enumerate(range(231, 237)):
+        shared = i < 3
+        data = top_pairs[i] if shared else bottom_pairs[i - 3]
+        grid = ImageGrid(fig, cell, nrows_ncols=(2, 1), axes_pad=0.25,
+                         share_all=False, cbar_location="right",
+                         cbar_mode="single" if shared else "each",
+                         cbar_size="3%" if shared else "6%", cbar_pad=0.1)
+        lim = {}
+        if shared:
+            stacked = np.concatenate([np.asarray(d) for d in data])
+            lim = dict(vmin=stacked.min(), vmax=stacked.max())
+        for j, ax in enumerate(grid):
+            if plot_fn == "contourf":
+                im = ax.contourf(data[j], 50, cmap=cmap, **lim)
+                im.set_edgecolor("face")
+            else:
+                im = ax.imshow(data[j], interpolation=None, cmap=cmap, **lim)
+            ax.set_axis_off()
+            if not shared:
+                cbar = grid.cbar_axes[j].colorbar(im, format=sfmt)
+                cbar.ax.tick_params(labelsize=6)
+                cbar.ax.yaxis.set_offset_position("left")
+        if shared:
+            cbar = grid.cbar_axes[0].colorbar(im, format=sfmt)
+            cbar.ax.tick_params(labelsize=6)
+            cbar.ax.yaxis.set_offset_position("left")
+    fig.subplots_adjust(wspace=0.075, hspace=0.075)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    plt.savefig(path, dpi=DPI, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_prediction_bayes(save_dir, target, pred_mean, pred_var, epoch,
-                          index, plot_fn="imshow"):
-    """ImageGrid-style Bayes panels (utils/plot.py:276-374): per channel a
-    (target, mean) pair sharing one scale plus (error, 2 std) free-scale —
-    rendered here as one 4-row grid with shared top rows."""
+                          index, plot_fn="contourf"):
+    """ImageGrid Bayes panels (utils/plot.py:276-374): per channel a
+    (target, mean) pair sharing one scale plus (error, 2 std) free-scale."""
     target, pm = _chw(target), _chw(pred_mean)
-    pv = _chw(pred_var)
-    samples = np.stack([target, pm, target - pm, 2 * np.sqrt(pv)], 0)
-    panel_grid(samples, ["Simulation", "Pred Mean", "Error", "2 Std"], COLS,
-               os.path.join(save_dir, f"pred_at_x_epoch{epoch}_{index}.{EXT}"),
-               plot_fn)
+    two_sigma = 2 * np.sqrt(_chw(pred_var))
+    err = target - pm
+    imagegrid_pairs([(target[c], pm[c]) for c in range(target.shape[0])],
+                    [(err[c], two_sigma[c]) for c in range(err.shape[0])],
+                    os.path.join(save_dir,
+                                 f"pred_at_x_epoch{epoch}_{index}.{EXT}"),
+                    plot_fn)
+
+
+def plot_MC(save_dir, monte_carlo, pred_mean, pred_var, mean, n_train,
+            plot_fn="contourf"):
+    """ImageGrid MC-vs-surrogate panels (utils/plot.py:377-474): per channel
+    (MC, pred mean) sharing one scale, (error, 2 std) free-scale."""
+    mc, pm = _chw(monte_carlo), _chw(pred_mean)
+    two_sigma = 2 * np.sqrt(_chw(pred_var))
+    err = mc - pm
+    imagegrid_pairs([(mc[c], pm[c]) for c in range(mc.shape[0])],
+                    [(err[c], two_sigma[c]) for c in range(err.shape[0])],
+                    os.path.join(
+                        save_dir,
+                        f"pred_{'mean' if mean else 'var'}_vs_MC.pdf"),
+                    plot_fn, figsize=(10, 10))
+    print(f"Done plotting Pred_{'mean' if mean else 'var'}_vs_MC, "
+          f"num of training: {n_train}")
 
 
 def plot_MC2(save_dir, monte_carlo, pred_mean, pred_var, mean, ntrain,
@@ -219,6 +283,38 @@ def save_samples(save_dir, images, epoch, index, name, nrow=4, heatmap=True,
             save_dir, f"epoch{epoch}_{name}_c{c}_index{index}.png"),
             bbox_inches="tight")
         plt.close(fig)
+
+
+def assemble_gif(frame_dir, out_path=None, pattern="pred_*.png",
+                 duration_ms=250, loop=0):
+    """Assemble animate frames into a gif (the reference ships
+    assets/cglow_pred_at_x.gif but has no assembler; frames come from
+    plot_prediction_det_animate / utils/plot.py:97-178).
+
+    Frames matching ``pattern`` under ``frame_dir`` are ordered by the
+    integer suffix in their filename (pred_3.png < pred_12.png).  Returns
+    the gif path, or None if fewer than 2 frames exist.
+    """
+    import glob
+    import re
+
+    from PIL import Image
+
+    def frame_key(path):
+        nums = re.findall(r"\d+", os.path.basename(path))
+        return [int(n) for n in nums] if nums else [0]
+
+    # escape the dir: run dirs contain glob metacharacters ("blocks[2, 2]")
+    frames = sorted(glob.glob(os.path.join(glob.escape(frame_dir), pattern)),
+                    key=frame_key)
+    if len(frames) < 2:
+        return None
+    out_path = out_path or os.path.join(frame_dir, "animation.gif")
+    images = [Image.open(f).convert("P", palette=Image.ADAPTIVE)
+              for f in frames]
+    images[0].save(out_path, save_all=True, append_images=images[1:],
+                   duration=duration_ms, loop=loop)
+    return out_path
 
 
 def plot_row(arrs, save_dir, filename, same_range=False, plot_fn="imshow",

@@ -7,8 +7,11 @@ import numpy as np
 
 from pde_surrogate_tpu.utils.observability import (JsonlLogger, StepTimer,
                                                    debug_nans, profile_trace)
-from pde_surrogate_tpu.viz.plot import (plot_MC2, plot_prediction_bayes2,
-                                        plot_prediction_det, plot_row,
+from pde_surrogate_tpu.viz.plot import (assemble_gif, plot_MC, plot_MC2,
+                                        plot_prediction_bayes,
+                                        plot_prediction_bayes2,
+                                        plot_prediction_det,
+                                        plot_prediction_det_animate, plot_row,
                                         save_samples, save_stats)
 
 
@@ -36,6 +39,38 @@ def test_plot_bayes_and_mc(tmp_path, rng):
     assert (tmp_path / "pred_epoch2_0.png").exists()
     plot_MC2(str(tmp_path), t, p, var, True, 128)
     assert (tmp_path / "pred_mean_vs_MC.pdf").exists()
+
+
+def test_imagegrid_variants(tmp_path, rng):
+    """ImageGrid layout parity (reference utils/plot.py:276-374, 377-474)."""
+    t, p = _fields(rng)
+    var = np.abs(p) * 0.01
+    plot_prediction_bayes(str(tmp_path), t, p, var, 4, 2)
+    assert (tmp_path / "pred_at_x_epoch4_2.png").exists()
+    plot_MC(str(tmp_path), t, p, var, True, 128)
+    assert (tmp_path / "pred_mean_vs_MC.pdf").exists()
+    plot_MC(str(tmp_path), t, p, var, False, 128, plot_fn="imshow")
+    assert (tmp_path / "pred_var_vs_MC.pdf").exists()
+
+
+def test_assemble_gif(tmp_path, rng):
+    t, _ = _fields(rng)
+    # run dirs contain glob metacharacters (e.g. "blocks[2, 2]"): the frame
+    # glob must escape the directory part
+    tmp_path = tmp_path / "blocks[2, 2]_lr0.5"
+    tmp_path.mkdir()
+    for i_plot in list(range(3)) + [10]:  # 10 checks numeric (not lex) order
+        # frames must differ: PIL's gif writer drops identical frames
+        p = t + 0.2 * rng.random(t.shape).astype(np.float32)
+        plot_prediction_det_animate(str(tmp_path), t, p, epoch=i_plot,
+                                    index=0, i_plot=i_plot)
+    gif = assemble_gif(str(tmp_path))
+    assert gif and gif.endswith("animation.gif") and os.path.exists(gif)
+    from PIL import Image
+    with Image.open(gif) as im:
+        assert getattr(im, "n_frames", 1) == 4
+    # fewer than 2 frames -> no gif
+    assert assemble_gif(str(tmp_path), pattern="nomatch_*.png") is None
 
 
 def test_save_stats_and_samples(tmp_path, rng):
