@@ -97,8 +97,7 @@ def main(argv=None):
                     blocks=run_args.blocks, growth_rate=run_args.growth_rate,
                     init_features=run_args.init_features,
                     drop_rate=run_args.drop_rate, out_activation=None,
-                    upsample=run_args.upsample, dtype=dtype,
-                    dense_impl=getattr(run_args, "dense_impl", "concat"))
+                    upsample=run_args.upsample, dtype=dtype)
 
     import h5py
     with h5py.File(args.input, "r") as f:

@@ -54,11 +54,6 @@ class Parser(BaseParser):
                           choices=["f32", "bf16"],
                           help="conv compute dtype (params stay f32; bf16 "
                                "is ~1.3x faster, slightly different numerics)")
-        self.add_argument("--dense-impl", type=str, default="concat",
-                          choices=["concat", "slab"],
-                          help="slab: bitwise-identical dense blocks that "
-                               "write growth channels into a preallocated "
-                               "slab instead of re-copying concats")
         self.add_argument("--batch-size", type=int, default=32)
         self.add_argument("--test-batch-size", type=int, default=64)
         self.add_argument("--seed", type=int, default=1)

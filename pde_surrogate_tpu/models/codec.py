@@ -123,7 +123,6 @@ class DenseLayer(nn.Module):
     bn_size: int = 8
     bottleneck: bool = False
     dtype: Any = None
-    concat_out: bool = True  # False: return only the growth channels
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -143,20 +142,19 @@ class DenseLayer(nn.Module):
             y = conv(self.growth_rate, (3, 3), padding=1, name="conv1")(y)
         if self.drop_rate > 0:
             y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
-        if not self.concat_out:
-            return y
         return jnp.concatenate([x, y], axis=-1)
 
 
 class DenseBlock(nn.Module):
     """Cascade of DenseLayers (models/codec.py:78-86).
 
-    ``impl='slab'`` is a bitwise-identical HBM-traffic optimization: the
-    block's final channel count is preallocated once and each layer's
-    growth channels are written in place with ``dynamic_update_slice``
-    (XLA updates the dead buffer in place), instead of re-copying the
-    whole accumulated feature map through a ``concatenate`` every layer —
-    the concat copies are the step's HBM bottleneck (docs/RESULTS.md).
+    A slab variant (preallocate the block's final channel count, write each
+    layer's growth channels in place via ``dynamic_update_slice``) was built
+    to cut the concat re-copies and measured bitwise-identical but SLOWER at
+    every config (f32/bs32 15.2 vs 8.8 ms; bf16/bs128 13.9 vs 11.2 ms —
+    logs/slab_probe_r3.log): XLA already fuses the concat copies into the
+    consumers, while the slab's dynamic_update_slice defeats that fusion.
+    Removed; concat is the only implementation.
     """
     num_layers: int
     growth_rate: int
@@ -164,28 +162,14 @@ class DenseBlock(nn.Module):
     bn_size: int = 8
     bottleneck: bool = False
     dtype: Any = None
-    impl: str = "concat"  # 'concat' | 'slab'
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        if self.impl == "concat":
-            for i in range(self.num_layers):
-                x = DenseLayer(self.growth_rate, self.drop_rate, self.bn_size,
-                               self.bottleneck, self.dtype,
-                               name=f"denselayer{i + 1}")(x, train)
-            return x
-        c0 = x.shape[-1]
-        total = c0 + self.num_layers * self.growth_rate
-        buf = jnp.zeros(x.shape[:-1] + (total,), x.dtype)
-        buf = jax.lax.dynamic_update_slice_in_dim(buf, x, 0, axis=-1)
         for i in range(self.num_layers):
-            c = c0 + i * self.growth_rate
-            view = jax.lax.slice_in_dim(buf, 0, c, axis=-1)
-            y = DenseLayer(self.growth_rate, self.drop_rate, self.bn_size,
-                           self.bottleneck, self.dtype, concat_out=False,
-                           name=f"denselayer{i + 1}")(view, train)
-            buf = jax.lax.dynamic_update_slice_in_dim(buf, y, c, axis=-1)
-        return buf
+            x = DenseLayer(self.growth_rate, self.drop_rate, self.bn_size,
+                           self.bottleneck, self.dtype,
+                           name=f"denselayer{i + 1}")(x, train)
+        return x
 
 
 class Transition(nn.Module):
@@ -292,7 +276,6 @@ class DenseED(nn.Module):
     out_activation: str | None = None
     upsample: str = "nearest"
     dtype: Any = None  # compute dtype (jnp.bfloat16 for MXU speed); params f32
-    dense_impl: str = "concat"  # see DenseBlock.impl
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -313,7 +296,6 @@ class DenseED(nn.Module):
         for i, num_layers in enumerate(enc_blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
                            self.bn_size, self.bottleneck, self.dtype,
-                           impl=self.dense_impl,
                            name=f"encblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             x = Transition(num_features // 2, down=True,
@@ -323,7 +305,6 @@ class DenseED(nn.Module):
         for i, num_layers in enumerate(dec_blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
                            self.bn_size, self.bottleneck, self.dtype,
-                           impl=self.dense_impl,
                            name=f"decblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             if i < len(dec_blocks) - 1:
@@ -356,7 +337,6 @@ class Decoder(nn.Module):
     upsample: str = "nearest"
     out_activation: str | None = None
     dtype: Any = None
-    dense_impl: str = "concat"  # see DenseBlock.impl
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -368,7 +348,7 @@ class Decoder(nn.Module):
         num_features = self.init_features
         for i, num_layers in enumerate(self.blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
-                           dtype=self.dtype, impl=self.dense_impl,
+                           dtype=self.dtype,
                            name=f"decblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             if i < len(self.blocks) - 1:

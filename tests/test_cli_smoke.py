@@ -10,6 +10,9 @@ import os
 import numpy as np
 import pytest
 
+# minute-scale e2e runs — deselected from the default guard path
+pytestmark = pytest.mark.slow
+
 
 def _common(tmp_path, extra):
     return [

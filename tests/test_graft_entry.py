@@ -7,9 +7,14 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# ~3 min on this host; the round driver independently runs dryrun_multichip
+# every round, so the default guard path skips this duplicate.
+@pytest.mark.slow
 def test_dryrun_multichip_with_initialized_backend():
     # A clean subprocess that locks the backend to a 1-device CPU platform
     # first (standing in for the driver's single-chip TPU use), then calls
