@@ -158,6 +158,40 @@ def main():
     print(f"[bench] driver loop: {driver_sps:.1f} samples/sec "
           f"(incl. shuffle+gather)", file=sys.stderr)
 
+    # cGlow reverse-KL step (the second flagship model): flagship 32x32
+    # kle100 config (train_cglow_reverse_kl defaults).  Eager per-step is
+    # that driver's default hot loop; the scanned-epoch ratio quantifies
+    # the scan anomaly (docs/RESULTS.md).
+    from pde_surrogate_tpu.models.glow import MultiScaleCondGlow
+    from pde_surrogate_tpu.train.glow_trainer import (create_glow_state,
+                                                      make_reverse_kl_step)
+    gim, gbatch = 32, 32
+    gx = jnp.asarray(sample_kle(gbatch, gim, 100, rng=3)[..., None])
+    glow = MultiScaleCondGlow(img_size=gim, x_channels=1, y_channels=3,
+                              enc_blocks=[3, 4, 4], flow_blocks=[6, 6, 6])
+    gstate, gtx = create_glow_state(glow, jax.random.key(0),
+                                    jnp.zeros((gbatch, gim, gim, 3)), gx,
+                                    lr_max=1.5e-3, total_steps=100_000)
+    gstep = make_reverse_kl_step(glow, gtx, SobelFilter(gim), beta=150.0,
+                                 weight_bound=50.0, n_out_pixels=3 * gim * gim)
+    t0 = time.time()
+    gstate, gm = gstep(gstate, gx)
+    float(gm["loss"])
+    print(f"[bench] cglow compile+first step: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    for _ in range(10):
+        gstate, gm = gstep(gstate, gx)
+    float(gm["loss"])
+    n_glow = 50
+    t0 = time.time()
+    for _ in range(n_glow):
+        gstate, gm = gstep(gstate, gx)
+    float(gm["loss"])
+    dt_glow = (time.time() - t0) / n_glow
+    glow_sps = gbatch / dt_glow
+    print(f"[bench] cglow reverse-KL: {dt_glow * 1e3:.2f} ms/step, "
+          f"{glow_sps:.1f} samples/sec", file=sys.stderr)
+
     print(json.dumps({
         "metric": "codec_mixed_residual_train_samples_per_sec_per_chip",
         "value": round(sps, 2),
@@ -171,6 +205,7 @@ def main():
         "throughput_mode_hbm_roofline_ratio": _json_num(tp_hbm_ratio, 4),
         "driver_loop_samples_per_sec": round(driver_sps, 2),
         "throughput_mode_bf16_bs128_samples_per_sec": round(tp_sps, 2),
+        "cglow_reverse_kl_samples_per_sec": round(glow_sps, 2),
     }))
 
 

@@ -50,6 +50,13 @@ class Parser(BaseParser):
         self.add_argument("--weight-bound", type=float, default=10.0)
         self.add_argument("--sobel-size", type=int, default=3, choices=[3, 5],
                           help="derivative stencil for the physics loss")
+        self.add_argument("--physics", type=str, default="sobel",
+                          choices=["sobel", "fv"],
+                          help="label-free objective: 'sobel' = the "
+                               "reference's mixed residual (models/darcy.py"
+                               ":162-233); 'fv' = the exactly-identifiable "
+                               "finite-volume residual "
+                               "(ops/darcy.fv_mixed_residual_loss)")
         self.add_argument("--dtype", type=str, default="f32",
                           choices=["f32", "bf16"],
                           help="conv compute dtype (params stay f32; bf16 "
@@ -85,6 +92,8 @@ class Parser(BaseParser):
             hparams += f"_wb{args.weight_bound:g}"
         if args.sobel_size != 3:
             hparams += f"_sobel{args.sobel_size}"
+        if args.physics != "sobel":
+            hparams += f"_{args.physics}"
         if args.upsample != "nearest":
             hparams += f"_{args.upsample}"
         if args.dtype != "f32":

@@ -41,6 +41,7 @@ __all__ = [
     "conv_boundary_condition",
     "energy_functional_exp",
     "mixed_residual_loss",
+    "fv_mixed_residual_loss",
     "reconstruct_pressure",
     "flux_pressure_consistency",
     "bilinear_interpolate",
@@ -168,6 +169,82 @@ def mixed_residual_loss(input: jax.Array, output: jax.Array,
     dirichlet, neumann = conv_boundary_condition(output)
     pde = constitutive + continuity
     loss = pde + weight_bound * (dirichlet + neumann)
+    return loss, (pde, dirichlet, neumann)
+
+
+def fv_mixed_residual_loss(input: jax.Array, output: jax.Array,
+                           weight_bound: float = 10.0):
+    """Finite-volume mixed-residual loss — the exactly-identifiable
+    label-free objective (round-3 addition; no reference counterpart).
+
+    The Sobel mixed residual (mixed_residual_loss) is misaligned with the
+    dataset labels: the TRUE fields score loss ~0.4 and training descends
+    below that into flat directions the metrics see (docs/RESULTS.md,
+    docs/DESIGN.md 4b) — the root cause of the u-drift lottery and of the
+    channelized wall (Sobel stencils difference across the binary-K
+    discontinuity).  This loss instead uses the SAME discretization the
+    in-framework label oracle solves (solvers/fd_darcy):
+
+    * ``residual``: the conservative FV divergence of u's face fluxes
+      (harmonic-mean face conductivities, zero-flux mirror faces top/bottom),
+      Jacobi-normalized (divided by the operator diagonal) so both facies of
+      a contrast-100 field carry equal weight and the term is dimensionless;
+    * ``flux consistency``: the predicted flux channels must equal u's
+      conservative face fluxes averaged to nodes — the exact label
+      convention (fd_darcy.darcy_fields);
+    * ``dirichlet``: the u=1-x boundary columns (weight ``weight_bound``).
+
+    loss = 0  <=>  u is the unique FV solution and the fluxes are the
+    labels — unlike the Sobel objective there are NO spurious minima, and
+    the harmonic face averaging respects discontinuous K.
+
+    Returns ``(loss, (pde, dirichlet, neumann))`` with the same structure as
+    ``mixed_residual_loss`` (pde = residual + flux-consistency; neumann is
+    folded into the flux-consistency term via the zero top/bottom walls of
+    the reference fluxes).
+    """
+    from ..solvers.fd_darcy import _faces_to_nodes, _harm
+
+    K = input[..., 0]                     # (B, n, n)
+    u = output[..., 0]
+    sigma = output[..., 1:]               # (B, n, n, 2)
+    n = K.shape[-1]
+    h = 1.0 / (n - 1)
+
+    Kx = _harm(K[..., :, :-1], K[..., :, 1:])     # vertical faces (B,n,n-1)
+    Ky = _harm(K[..., :-1, :], K[..., 1:, :])     # horizontal faces (B,n-1,n)
+    fx = -Kx * (u[..., :, 1:] - u[..., :, :-1]) / h
+    fy = -Ky * (u[..., 1:, :] - u[..., :-1, :]) / h
+
+    def pad_x(a, left, right):
+        return jnp.pad(a, ((0, 0),) * (a.ndim - 2) + ((0, 0), (left, right)))
+
+    def pad_y(a, top, bottom):
+        return jnp.pad(a, ((0, 0),) * (a.ndim - 2) + ((top, bottom), (0, 0)))
+
+    # conservative divergence at nodes (missing boundary faces contribute 0
+    # == the zero-flux mirror at the horizontal walls)
+    div = (pad_x(fx, 0, 1) - pad_x(fx, 1, 0)
+           + pad_y(fy, 0, 1) - pad_y(fy, 1, 0)) / h
+    # Jacobi normalization: diag(A) = sum of adjacent face conductivities/h^2
+    diag = (pad_x(Kx, 0, 1) + pad_x(Kx, 1, 0)
+            + pad_y(Ky, 0, 1) + pad_y(Ky, 1, 0)) / (h * h)
+    r = div / jnp.maximum(diag, 1e-30)
+    residual = jnp.mean(r[..., :, 1:-1] ** 2)    # interior of Dirichlet cols
+
+    s1_ref, s2_ref = _faces_to_nodes(fx, fy)
+    flux_consistency = jnp.mean(
+        (sigma - jnp.stack([s1_ref, s2_ref], axis=-1)) ** 2)
+
+    dirichlet = (jnp.mean((u[..., :, 0] - 1.0) ** 2)
+                 + jnp.mean(u[..., :, -1] ** 2))
+    # sigma2's zero walls are enforced through s2_ref's exact zeros; report
+    # that share as the "neumann" diagnostic for logging parity
+    neumann = (jnp.mean(sigma[..., 0, :, 1] ** 2)
+               + jnp.mean(sigma[..., -1, :, 1] ** 2))
+
+    pde = residual + flux_consistency
+    loss = pde + weight_bound * dirichlet
     return loss, (pde, dirichlet, neumann)
 
 

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import optax
 from flax.core import FrozenDict
 
-from ..ops.darcy import flux_pressure_consistency, mixed_residual_loss
+from ..ops.darcy import (flux_pressure_consistency, fv_mixed_residual_loss,
+                         mixed_residual_loss)
 from ..ops.filters import SobelFilter
 from ..utils.metrics import relative_l2, squared_error_sum
 from .schedules import one_cycle_schedule
@@ -87,10 +88,24 @@ def _dropout_rngs(state: CodecState, seed: int = 0):
     return {"dropout": jax.random.fold_in(jax.random.key(seed), state.step)}
 
 
+def _physics_loss(physics: str, x, output, sobel, weight_bound, nonlinear):
+    """Dispatch between the Sobel mixed residual (reference parity,
+    models/darcy.py:162-233) and the exactly-identifiable FV residual
+    (ops/darcy.fv_mixed_residual_loss, round-3 objective)."""
+    if physics == "sobel":
+        return mixed_residual_loss(x, output, sobel, weight_bound, nonlinear)
+    if physics == "fv":
+        if nonlinear is not None:
+            raise ValueError("physics='fv' supports the linear law only")
+        return fv_mixed_residual_loss(x, output, weight_bound)
+    raise ValueError(f"unknown physics loss: {physics}")
+
+
 def make_mixed_residual_step(model, tx, sobel: SobelFilter,
                              weight_bound: float = 10.0,
                              nonlinear: str | None = None,
-                             dropout_seed: int = 0):
+                             dropout_seed: int = 0,
+                             physics: str = "sobel"):
     """Label-free physics-constrained step: batch is (K,) images only.
 
     The returned jitted step exposes the un-jitted body as ``.core`` so
@@ -103,8 +118,8 @@ def make_mixed_residual_step(model, tx, sobel: SobelFilter,
                 {"params": params, "batch_stats": state.batch_stats},
                 x, train=True, mutable=["batch_stats"],
                 rngs=_dropout_rngs(state, dropout_seed))
-            loss, (pde, dirichlet, neumann) = mixed_residual_loss(
-                x, output, sobel, weight_bound, nonlinear)
+            loss, (pde, dirichlet, neumann) = _physics_loss(
+                physics, x, output, sobel, weight_bound, nonlinear)
             return loss, (mutated["batch_stats"], pde, dirichlet, neumann)
 
         (loss, (bstats, pde, diri, neum)), grads = jax.value_and_grad(
@@ -210,7 +225,7 @@ def _gather_epoch(idx, arrays, epoch_sharding):
 
 
 def make_eval_step(model, sobel: SobelFilter, weight_bound: float = 10.0,
-                   nonlinear: str | None = None):
+                   nonlinear: str | None = None, physics: str = "sobel"):
     """Test-set step: physics loss + per-sample metrics vs targets.
 
     Mirrors the reference test() (train_codec_mixed_residual.py:166-206):
@@ -223,8 +238,8 @@ def make_eval_step(model, sobel: SobelFilter, weight_bound: float = 10.0,
         output = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False)
-        loss, (pde, diri, neum) = mixed_residual_loss(
-            x, output, sobel, weight_bound, nonlinear)
+        loss, (pde, diri, neum) = _physics_loss(
+            physics, x, output, sobel, weight_bound, nonlinear)
         return {
             "loss": loss,
             "rel_l2": relative_l2(output, y),

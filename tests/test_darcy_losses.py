@@ -198,3 +198,52 @@ def test_flux_pressure_consistency_detects_interior_offset():
     drifted = float(flux_pressure_consistency(inp, out.at[..., 0].add(bump)))
     assert clean < 5e-3
     assert drifted > 0.1
+
+
+def test_fv_loss_zero_at_truth_and_identifiable():
+    """The FV mixed residual is EXACTLY identifiable: the FV-solved fields
+    score ~0 (unlike the Sobel objective, whose loss(truth) is ~0.4), and
+    both an interior u offset (the Sobel objective's blind spot) and a
+    boundary-conforming bump are penalized."""
+    from pde_surrogate_tpu.data.grf import sample_kle
+    from pde_surrogate_tpu.ops.darcy import (fv_mixed_residual_loss,
+                                             mixed_residual_loss)
+    from pde_surrogate_tpu.ops.filters import SobelFilter
+    from pde_surrogate_tpu.solvers.fd_darcy import solve_darcy_batch_fast
+
+    k = sample_kle(4, 32, 64, rng=3)
+    y = np.asarray(solve_darcy_batch_fast(jnp.asarray(k)))
+    out = jnp.asarray(np.moveaxis(y, 1, -1))
+    inp = jnp.asarray(k[..., None])
+
+    loss_true, (pde, diri, neum) = fv_mixed_residual_loss(inp, out)
+    assert float(loss_true) < 1e-4, float(loss_true)
+    # the Sobel objective's floor at the SAME fields is orders higher
+    loss_sobel, _ = mixed_residual_loss(inp, out, SobelFilter(32))
+    assert float(loss_sobel) > 100 * float(loss_true)
+
+    # interior offset with conforming Dirichlet edges: Sobel-invisible,
+    # FV-visible
+    bump = 0.15 * jnp.sin(jnp.linspace(0, np.pi, 32))[None, None, :]
+    loss_drift, _ = fv_mixed_residual_loss(inp, out.at[..., 0].add(bump))
+    assert float(loss_drift) > 10 * float(loss_true)
+
+    # differentiable and finite
+    g = jax.grad(lambda o: fv_mixed_residual_loss(inp, o)[0])(out)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_fv_loss_channelized_contrast():
+    """Identifiability holds at channelized contrast (K ratio 100): truth
+    still scores ~0 because the harmonic face conductivities are the
+    oracle's own discretization."""
+    from pde_surrogate_tpu.data.grf import sample_channelized
+    from pde_surrogate_tpu.ops.darcy import fv_mixed_residual_loss
+    from pde_surrogate_tpu.solvers.fd_darcy import solve_darcy_batch_fast
+
+    k = sample_channelized(2, 32, rng=5)
+    y = np.asarray(solve_darcy_batch_fast(jnp.asarray(k)))
+    out = jnp.asarray(np.moveaxis(y, 1, -1))
+    inp = jnp.asarray(k[..., None])
+    loss_true, _ = fv_mixed_residual_loss(inp, out)
+    assert float(loss_true) < 1e-3, float(loss_true)
