@@ -51,12 +51,15 @@ class Parser(BaseParser):
         self.add_argument("--sobel-size", type=int, default=3, choices=[3, 5],
                           help="derivative stencil for the physics loss")
         self.add_argument("--physics", type=str, default="sobel",
-                          choices=["sobel", "fv"],
+                          choices=["sobel", "fv", "fvcg"],
                           help="label-free objective: 'sobel' = the "
                                "reference's mixed residual (models/darcy.py"
                                ":162-233); 'fv' = the exactly-identifiable "
                                "finite-volume residual "
-                               "(ops/darcy.fv_mixed_residual_loss)")
+                               "(ops/darcy.fv_mixed_residual_loss — "
+                               "measured ill-conditioned, docs/RESULTS.md); "
+                               "'fvcg' = the CG-preconditioned error "
+                               "objective (ops/darcy.fv_cg_error_loss)")
         self.add_argument("--dtype", type=str, default="f32",
                           choices=["f32", "bf16"],
                           help="conv compute dtype (params stay f32; bf16 "

@@ -42,6 +42,7 @@ __all__ = [
     "energy_functional_exp",
     "mixed_residual_loss",
     "fv_mixed_residual_loss",
+    "fv_cg_error_loss",
     "reconstruct_pressure",
     "flux_pressure_consistency",
     "bilinear_interpolate",
@@ -244,6 +245,98 @@ def fv_mixed_residual_loss(input: jax.Array, output: jax.Array,
                + jnp.mean(sigma[..., -1, :, 1] ** 2))
 
     pde = residual + flux_consistency
+    loss = pde + weight_bound * dirichlet
+    return loss, (pde, dirichlet, neumann)
+
+
+def fv_cg_error_loss(input: jax.Array, output: jax.Array,
+                     weight_bound: float = 10.0, n_cg: int = 64):
+    """Preconditioned-error label-free objective (round-3; no reference
+    counterpart): k CG iterations applied to the FV residual INSIDE the loss.
+
+    Measured motivation (logs/fv_channelized_300ep.log): the exactly-
+    identifiable FV residual (fv_mixed_residual_loss) trains to loss 2e-4 on
+    channelized while test u R^2 ~ 0 — identifiability is not the wall,
+    CONDITIONING is.  ||r|| small does not imply ||e|| small when
+    kappa(A) ~ n^2 * contrast: smooth error modes produce residuals smaller
+    by the eigenvalue ratio, so residual descent leaves the smooth
+    components of the error untouched.
+
+    Fix: the error satisfies A e = r exactly, so run ``n_cg`` Jacobi-
+    preconditioned CG iterations on (A(K), r(u_hat)) inside the loss and
+    penalize ``mean(e_k^2)``.  As n_cg -> infinity this IS the squared error
+    norm ||u_hat - u*||^2 (perfectly conditioned, gradient ~ the error
+    itself); at n_cg ~ 64 the Krylov polynomial already amplifies the smooth
+    modes the raw residual cannot see.  Cost: n_cg stencil matvecs
+    (~megaFLOPs) — invisible next to the 137-GFLOP DenseED step.  Still
+    label-free: no solver output is ever compared against, only K and the
+    net's own prediction enter.
+
+    Same return structure as ``mixed_residual_loss``; pde = cg-error +
+    flux-consistency (the exact label convention, as in
+    ``fv_mixed_residual_loss``).
+    """
+    from ..solvers.fd_darcy import (_apply_operator, _face_conductivities,
+                                    _faces_to_nodes, _harm, _interior_mask)
+
+    K = input[..., 0]                     # (B, n, n)
+    u = output[..., 0]
+    sigma = output[..., 1:]               # (B, n, n, 2)
+    n = K.shape[-1]
+    h = 1.0 / (n - 1)
+
+    def cg_error(Ki, ui):
+        faces = _face_conductivities(Ki)
+        aE, aW, aN, aS = faces
+        mask = _interior_mask(n)
+        u_d = jnp.zeros((n, n), Ki.dtype).at[:, 0].set(1.0)
+        b = -_apply_operator(u_d, faces) * mask
+        inv_diag = mask / jnp.maximum(aE + aW + aN + aS, 1e-30)
+        matvec = lambda v: _apply_operator(v * mask, faces) * mask
+        r = (b - matvec((ui - u_d) * mask)) * mask
+
+        def dot(a, c):
+            return jnp.sum(a * c)
+
+        e = jnp.zeros_like(r)
+        z = r * inv_diag
+        p = z
+        rz = dot(r, z)
+
+        def body(_, carry):
+            e, r, p, rz = carry
+            ap = matvec(p)
+            alpha = rz / (dot(p, ap) + 1e-30)
+            e = e + alpha * p
+            r = r - alpha * ap
+            z = r * inv_diag
+            rz_new = dot(r, z)
+            beta = rz_new / (rz + 1e-30)
+            p = z + beta * p
+            return e, r, p, rz_new
+
+        e, _, _, _ = jax.lax.fori_loop(0, n_cg, body, (e, r, p, rz))
+        return e
+
+    e = jax.vmap(cg_error)(K, u)
+    err_u = jnp.mean(e ** 2)
+
+    # flux consistency against u_hat's own conservative face fluxes — the
+    # exact label convention (fd_darcy.darcy_fields)
+    Kx = _harm(K[..., :, :-1], K[..., :, 1:])
+    Ky = _harm(K[..., :-1, :], K[..., 1:, :])
+    fx = -Kx * (u[..., :, 1:] - u[..., :, :-1]) / h
+    fy = -Ky * (u[..., 1:, :] - u[..., :-1, :]) / h
+    s1_ref, s2_ref = _faces_to_nodes(fx, fy)
+    flux_consistency = jnp.mean(
+        (sigma - jnp.stack([s1_ref, s2_ref], axis=-1)) ** 2)
+
+    dirichlet = (jnp.mean((u[..., :, 0] - 1.0) ** 2)
+                 + jnp.mean(u[..., :, -1] ** 2))
+    neumann = (jnp.mean(sigma[..., 0, :, 1] ** 2)
+               + jnp.mean(sigma[..., -1, :, 1] ** 2))
+
+    pde = err_u + flux_consistency
     loss = pde + weight_bound * dirichlet
     return loss, (pde, dirichlet, neumann)
 

@@ -25,8 +25,8 @@ import jax.numpy as jnp
 import optax
 from flax.core import FrozenDict
 
-from ..ops.darcy import (flux_pressure_consistency, fv_mixed_residual_loss,
-                         mixed_residual_loss)
+from ..ops.darcy import (flux_pressure_consistency, fv_cg_error_loss,
+                         fv_mixed_residual_loss, mixed_residual_loss)
 from ..ops.filters import SobelFilter
 from ..utils.metrics import relative_l2, squared_error_sum
 from .schedules import one_cycle_schedule
@@ -89,15 +89,20 @@ def _dropout_rngs(state: CodecState, seed: int = 0):
 
 
 def _physics_loss(physics: str, x, output, sobel, weight_bound, nonlinear):
-    """Dispatch between the Sobel mixed residual (reference parity,
-    models/darcy.py:162-233) and the exactly-identifiable FV residual
-    (ops/darcy.fv_mixed_residual_loss, round-3 objective)."""
+    """Dispatch between label-free objectives: 'sobel' = the reference's
+    mixed residual (models/darcy.py:162-233); 'fv' = the exactly-
+    identifiable FV residual (ill-conditioned — measured negative result,
+    docs/RESULTS.md); 'fvcg' = the CG-preconditioned error objective
+    (ops/darcy.fv_cg_error_loss, round-3)."""
     if physics == "sobel":
         return mixed_residual_loss(x, output, sobel, weight_bound, nonlinear)
-    if physics == "fv":
+    if physics in ("fv", "fvcg"):
         if nonlinear is not None:
-            raise ValueError("physics='fv' supports the linear law only")
-        return fv_mixed_residual_loss(x, output, weight_bound)
+            raise ValueError(f"physics='{physics}' supports the linear law "
+                             f"only")
+        if physics == "fv":
+            return fv_mixed_residual_loss(x, output, weight_bound)
+        return fv_cg_error_loss(x, output, weight_bound)
     raise ValueError(f"unknown physics loss: {physics}")
 
 

@@ -75,14 +75,15 @@ def test_predict_codec_cli(tmp_path):
         assert f["output"].shape == (8, 3, 16, 16)
 
 
-def test_train_codec_fv_physics_cli(tmp_path):
-    """--physics fv: the exactly-identifiable FV objective trains e2e."""
+@pytest.mark.parametrize("physics", ["fv", "fvcg"])
+def test_train_codec_fv_physics_cli(tmp_path, physics):
+    """--physics fv/fvcg: the FV-family objectives train e2e."""
     from pde_surrogate_tpu.cli.train_codec_mixed_residual import main
     state, logger = main(_common(tmp_path, [
         "--ntrain", "16", "--ntest", "8", "--batch-size", "8",
         "--test-batch-size", "8", "--imsize", "16", "--epochs", "2",
         "--blocks", "1,2,1", "--growth-rate", "4", "--init-features", "8",
-        "--ckpt-freq", "2", "--physics", "fv"]))
+        "--ckpt-freq", "2", "--physics", physics]))
     assert np.isfinite(logger["loss_train"]).all()
     assert logger["loss_train"][-1] < logger["loss_train"][0]
 

@@ -247,3 +247,52 @@ def test_fv_loss_channelized_contrast():
     inp = jnp.asarray(k[..., None])
     loss_true, _ = fv_mixed_residual_loss(inp, out)
     assert float(loss_true) < 1e-3, float(loss_true)
+
+
+def test_fv_cg_error_loss_measures_the_error_norm():
+    """The CG-preconditioned error objective (round-3): at the truth the
+    loss is ~0; for a SMOOTH interior error — which the raw FV residual
+    barely sees (the measured channelized failure, docs/RESULTS.md) — the
+    pde term approximates the actual mean-squared u error, i.e. the
+    objective is conditioned like supervised training without any labels."""
+    from pde_surrogate_tpu.data.grf import sample_kle
+    from pde_surrogate_tpu.ops.darcy import (fv_cg_error_loss,
+                                             fv_mixed_residual_loss)
+    from pde_surrogate_tpu.solvers.fd_darcy import solve_darcy_batch_fast
+
+    n = 32
+    k = sample_kle(2, n, 64, rng=7)
+    y = np.asarray(solve_darcy_batch_fast(jnp.asarray(k)))
+    out = jnp.asarray(np.moveaxis(y, 1, -1))
+    inp = jnp.asarray(k[..., None])
+
+    n_cg = 24 * n  # near-converged: e_k ~ the true error
+    loss_true, _ = fv_cg_error_loss(inp, out, n_cg=n_cg)
+    assert float(loss_true) < 1e-4, float(loss_true)
+
+    # SELF-CONSISTENT smooth interior error: u drifts by a smooth bump
+    # (conforming at the Dirichlet columns) and the flux channels are its
+    # own conservative face fluxes — exactly the measured channelized
+    # failure mode ("more self-consistent and less true simultaneously")
+    from pde_surrogate_tpu.solvers.fd_darcy import darcy_fields
+    bump = 0.15 * jnp.sin(jnp.linspace(0, np.pi, n))[None, None, :]
+    u_drift = out[..., 0] + bump
+    drifted = jnp.moveaxis(jax.vmap(darcy_fields)(inp[..., 0], u_drift),
+                           1, -1)
+    bump_mse = float(jnp.mean(jnp.broadcast_to(
+        bump, out[..., 0].shape) ** 2))
+
+    _, (pde_cg, _, _) = fv_cg_error_loss(inp, drifted, n_cg=n_cg)
+    # the error objective recovers the actual error energy
+    assert 0.3 * bump_mse < float(pde_cg) < 3.0 * bump_mse, (
+        float(pde_cg), bump_mse)
+    # the raw FV residual under-reports the same smooth self-consistent
+    # error by orders of magnitude — the conditioning gap that broke
+    # channelized training
+    _, (pde_fv, _, _) = fv_mixed_residual_loss(inp, drifted)
+    assert float(pde_fv) < 0.1 * float(pde_cg), (float(pde_fv),
+                                                 float(pde_cg))
+
+    # differentiable and finite at the default iteration budget
+    g = jax.grad(lambda o: fv_cg_error_loss(inp, o)[0])(drifted)
+    assert bool(jnp.all(jnp.isfinite(g)))

@@ -1,0 +1,198 @@
+"""HBM-wall evidence for the DenseED mixed-residual step (VERDICT r2 #1).
+
+Three measurements replace the round-2 pre-fusion cost-model argument:
+
+1. **Achievable stream bandwidth** on THIS chip: a saxpy over a large array
+   with exactly-known traffic (read x, read y, write out), honest
+   value-fetch fences.  The roofline denominator (the v5e datasheet 819
+   GB/s is never reached by real kernels).
+2. **Analytic minimum traffic** of the train step under PERFECT fusion —
+   a lower bound no implementation (XLA or Pallas) can beat while keeping
+   exact batch-norm semantics: every conv reads its full input (the
+   DenseNet concat prefix — the O(L^2) term) and writes its output; each
+   training-mode BN must complete its batch reduction before any consumer
+   runs, forcing one extra read of the conv output it normalizes (stats
+   pass) — batch stats are CROSS-SAMPLE, so a per-sample in-VMEM fusion of
+   the whole block is impossible without changing the numerics.
+   Backward doubles the conv terms (dgrad + wgrad each stream the same
+   activations); Adam adds 6x param bytes.
+3. **Measured step time** (honest fences) + optionally a jax.profiler
+   trace parsed with tensorboard_plugin_profile into per-op time shares
+   (where do the 6.7 ms go: convs vs concat/copy vs BN reductions).
+
+Verdict line printed at the end:  step_time / floor_time — how far the
+step sits from the speed-of-light for this topology on this chip.
+
+Run (TPU free):  python tools/hbm_probe.py [--trace /tmp/hbmtrace]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from pde_surrogate_tpu.data.grf import sample_kle
+from pde_surrogate_tpu.models.codec import DenseED
+from pde_surrogate_tpu.ops.filters import SobelFilter
+from pde_surrogate_tpu.train.codec_trainer import (create_state,
+                                                   make_mixed_residual_step)
+from pde_surrogate_tpu.utils.config import enable_compilation_cache
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--trace", type=str, default=None)
+parser.add_argument("--batch", type=int, default=32)
+parser.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"])
+args = parser.parse_args()
+
+enable_compilation_cache()
+BW_PEAK = 819e9  # v5e datasheet
+
+
+def fence(v):
+    return float(jnp.asarray(v).reshape(-1)[0])
+
+
+# --- 1. achievable stream bandwidth ----------------------------------------
+@jax.jit
+def saxpy(x, y):
+    return 2.0 * x + y
+
+
+nwords = 64 * 1024 * 1024  # 256 MB per operand
+xa = jnp.ones((nwords,), jnp.float32)
+ya = jnp.ones((nwords,), jnp.float32)
+out = saxpy(xa, ya)
+fence(out)
+t0 = time.time()
+reps = 20
+for _ in range(reps):
+    out = saxpy(xa, out)
+fence(out)
+dt = (time.time() - t0) / reps
+stream_bw = 3 * 4 * nwords / dt  # read+read+write
+print(f"[hbm] saxpy stream: {stream_bw / 1e9:.0f} GB/s achievable "
+      f"({100 * stream_bw / BW_PEAK:.0f}% of 819 GB/s datasheet)", flush=True)
+
+
+# --- 2. analytic minimum traffic (mirrors DenseED.__call__ exactly) --------
+def min_traffic_bytes(batch, imsize=64, blocks=(6, 8, 6), growth=16,
+                      init_features=48, out_ch=3, word=4):
+    """Per-step lower-bound HBM bytes under perfect fusion, exact BN."""
+    fwd = 0.0
+
+    def conv(px_in, c_in, px_out, c_out, train_bn=True):
+        nonlocal fwd
+        # read input, write output; training BN on the input adds one more
+        # read of the input for the batch-stat pass (reduction must finish
+        # before the normalize+conv pass starts)
+        fwd_in = px_in * c_in * (2 if train_bn else 1)
+        fwd += (fwd_in + px_out * c_out) * word * batch
+
+    n = imsize
+    px = {1: (n // 2) ** 2, 2: (n // 4) ** 2, 0: n * n}
+    # in_conv 7x7 s2 (no BN before it)
+    conv(n * n, 1, px[1], init_features, train_bn=False)
+    feats = init_features
+    enc, dec = list(blocks)[: len(blocks) // 2], list(blocks)[len(blocks) // 2:]
+    p = px[1]
+    for nl in enc:
+        for i in range(nl):
+            conv(p, feats + i * growth, p, growth)
+        feats += nl * growth
+        conv(p, feats, p, feats // 2)            # 1x1
+        conv(p, feats // 2, p // 4, feats // 2)  # 3x3 s2
+        feats //= 2
+        p //= 4
+    for bi, nl in enumerate(dec):
+        for i in range(nl):
+            conv(p, feats + i * growth, p, growth)
+        feats += nl * growth
+        if bi < len(dec) - 1:
+            conv(p, feats, p, feats // 2)        # 1x1
+            # transup conv2: its BN sits BEFORE the upsample (pre-upsample
+            # size), the conv reads the 4x-px upsampled map (upsample fuses
+            # into the read)
+            fwd += (p * (feats // 2)            # BN stats pass
+                    + p * 4 * (feats // 2)      # conv input read
+                    + p * 4 * (feats // 2)      # conv output write
+                    ) * word * batch
+            feats //= 2
+            p *= 4
+    # last decoding: conv1 3x3 C->C/2, up x2, conv2 3x3 ->C/4, conv3 5x5 ->3
+    conv(p, feats, p, feats // 2)
+    # conv2: BN pre-upsample (at p), conv reads the upsampled map (p*4)
+    fwd += (p * (feats // 2) + p * 4 * (feats // 2)
+            + p * 4 * (feats // 4)) * word * batch
+    conv(p * 4, feats // 4, p * 4, out_ch)
+    # physics loss: sobel reads the 3-channel output + K a few times; small
+    fwd += 8 * (n * n) * word * batch
+    # backward ~2x the conv traffic (dgrad + wgrad both stream activations
+    # and output-grads at the same volumes)
+    total = fwd * 3.0
+    # Adam: read params+m+v, write params+m+v
+    n_params = 740_091
+    total += 6 * n_params * word
+    return total
+
+
+bytes_floor = min_traffic_bytes(args.batch)
+print(f"[hbm] analytic floor: {bytes_floor / 1e9:.3f} GB/step "
+      f"(batch {args.batch}, perfect fusion, exact BN)", flush=True)
+
+# --- 3. measured step ------------------------------------------------------
+imsize, batch = 64, args.batch
+dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+x = jnp.asarray(sample_kle(batch, imsize, 512, rng=0)[..., None])
+model = DenseED(1, 3, imsize=imsize, blocks=[6, 8, 6], growth_rate=16,
+                init_features=48, dtype=dtype)
+state, tx = create_state(model, jax.random.key(0), x, lr_max=1e-3,
+                         total_steps=100_000)
+step = make_mixed_residual_step(model, tx, SobelFilter(imsize), 10.0)
+state, m = step(state, x)
+fence(m["loss"])
+for _ in range(20):
+    state, m = step(state, x)
+fence(m["loss"])
+n_steps = 100
+t0 = time.time()
+for _ in range(n_steps):
+    state, m = step(state, x)
+fence(m["loss"])
+dt_step = (time.time() - t0) / n_steps
+
+floor_time = bytes_floor / stream_bw
+print(f"[hbm] measured step: {dt_step * 1e3:.2f} ms; floor at measured "
+      f"stream BW: {floor_time * 1e3:.2f} ms -> step/floor = "
+      f"{dt_step / floor_time:.2f}x", flush=True)
+print(f"[hbm] implied traffic at stream BW: "
+      f"{dt_step * stream_bw / 1e9:.2f} GB/step vs floor "
+      f"{bytes_floor / 1e9:.2f} GB/step", flush=True)
+
+# --- optional: profiler trace + per-op breakdown ---------------------------
+if args.trace:
+    import glob
+    import gzip
+    import os
+    with jax.profiler.trace(args.trace):
+        for _ in range(5):
+            state, m = step(state, x)
+        fence(m["loss"])
+    print(f"[hbm] trace written under {args.trace}", flush=True)
+    xplanes = sorted(glob.glob(os.path.join(
+        args.trace, "plugins/profile/*/*.xplane.pb")))
+    if xplanes:
+        try:
+            from tensorboard_plugin_profile.convert import raw_to_tool_data
+            data, _ = raw_to_tool_data.xspace_to_tool_data(
+                [xplanes[-1]], "framework_op_stats", {})
+            out_path = os.path.join(args.trace, "op_stats.json")
+            with open(out_path, "w") as f:
+                f.write(data if isinstance(data, str)
+                        else data.decode("utf-8", "replace"))
+            print(f"[hbm] op stats -> {out_path}", flush=True)
+        except Exception as e:  # noqa: BLE001 — plugin API varies
+            print(f"[hbm] op-stats conversion failed: {e}", flush=True)
