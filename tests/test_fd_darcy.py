@@ -168,3 +168,34 @@ def test_nonlinear_flux_labels_are_conservative():
     div_naive = ((s1n[1:-1, 2:] - s1n[1:-1, :-2])
                  + (s2n[2:, 1:-1] - s2n[:-2, 1:-1])) / (2 * h)
     assert np.abs(div).mean() < 0.25 * np.abs(div_naive).mean()
+
+
+def test_nonlinear_grid_convergence():
+    """The nonlinear FV-Newton oracle converges under grid refinement.
+
+    Smooth analytic K on nested grids (17 -> 33 -> 65; coarse nodes are a
+    stride-2 subset of fine nodes): successive-difference L2 errors must
+    shrink at the scheme's first-order rate (harmonic face means built from
+    *nodal* K samples are O(h) for smooth variable coefficients; measured
+    order 0.88 at these sizes, 0.95 by 129^2 in f64).  Completes the oracle
+    validation pair next to alpha->0 exactness above; replaces
+    /root/reference/utils/fenics.py:13-91 as the nonlinear reference.
+    """
+    def K_at(n):
+        x = jnp.linspace(0.0, 1.0, n)
+        X, Y = jnp.meshgrid(x, x, indexing="xy")
+        return jnp.exp(0.8 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y))
+
+    us = {n: np.asarray(solve_nonlinear_darcy(
+              K_at(n), alpha1=1.0, alpha2=1.0,
+              newton_iters=16, cg_tol=1e-8, cg_maxiter=8000)[0])
+          for n in (17, 33, 65)}
+
+    def l2(a):
+        return float(np.sqrt((a ** 2).mean()))
+
+    e_coarse = l2(us[33][::2, ::2] - us[17])
+    e_fine = l2(us[65][::2, ::2] - us[33])
+    order = np.log2(e_coarse / e_fine)
+    assert e_fine < e_coarse          # errors shrink under refinement
+    assert 0.7 < order < 1.3          # first-order rate (measured 0.88)
