@@ -113,6 +113,84 @@ def _upsample(x: jax.Array, mode: str) -> jax.Array:
     raise ValueError(f"unknown upsample mode: {mode}")
 
 
+def _batch_moments(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-channel (mean, var) over (B, H, W), flax-BatchNorm-exact: f32
+    reductions, fast variance E[x^2]-E[x]^2 clipped at zero."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=(0, 1, 2))
+    mu2 = jnp.mean(x32 * x32, axis=(0, 1, 2))
+    return mu, jnp.maximum(0.0, mu2 - mu * mu)
+
+
+class _SharedConcatNorm(nn.Module):
+    """BatchNorm over a concat of feature groups with EXTERNALLY supplied
+    per-group batch statistics.
+
+    Declares the same parameter/variable tree as ``nn.BatchNorm`` (params
+    ``scale``/``bias``, batch_stats ``mean``/``var``) so checkpoints are
+    interchangeable with the default implementation.  In training mode the
+    batch stats are the concatenation of the callers' per-group moments —
+    numerically the per-channel stats of the concat, but computed once per
+    group instead of once per consuming layer (the DenseNet O(L^2) stats
+    re-reduction).  Eval mode uses the running stats, exactly as flax.
+    """
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xcat, mean, var, train: bool):
+        c = xcat.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (c,))
+        if not train:
+            mean, var = ra_mean.value, ra_var.value
+        elif not self.is_initializing():
+            # torch momentum 0.1 == flax momentum 0.9 (models/codec.py BN use)
+            ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+            ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        # flax _normalize: y = (x - mean) * (rsqrt(var+eps) * scale) + bias,
+        # computed in f32, result cast to the module compute dtype
+        mul = jax.lax.rsqrt(var + 1e-5) * scale
+        y = (xcat.astype(jnp.float32) - mean) * mul + bias
+        out_dtype = self.dtype if self.dtype is not None else jnp.promote_types(
+            xcat.dtype, jnp.float32)
+        return y.astype(out_dtype)
+
+
+class DenseLayerShared(nn.Module):
+    """DenseLayer over an explicit group list with shared batch statistics.
+
+    Same math and variable tree as ``DenseLayer`` (bottleneck-free path);
+    returns the newly produced growth-channel group and its moments so the
+    block can reuse them for every later layer's norm.
+    """
+    growth_rate: int
+    drop_rate: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, groups, means, variances, train: bool = True):
+        xcat = groups[0] if len(groups) == 1 else jnp.concatenate(groups, -1)
+        if train:
+            mean = means[0] if len(means) == 1 else jnp.concatenate(means)
+            var = (variances[0] if len(variances) == 1
+                   else jnp.concatenate(variances))
+        else:  # eval normalizes with running stats; batch moments unused
+            mean = var = None
+        y = _SharedConcatNorm(dtype=self.dtype, name="norm1")(
+            xcat, mean, var, train)
+        y = nn.relu(y)
+        y = nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, kernel_init=torch_conv_init,
+                    name="conv1")(y)
+        if self.drop_rate > 0:
+            y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
+        return y
+
+
 class DenseLayer(nn.Module):
     """BN -> ReLU -> 3x3 conv (+ optional 1x1 bottleneck), concat input.
 
@@ -162,14 +240,43 @@ class DenseBlock(nn.Module):
     bn_size: int = 8
     bottleneck: bool = False
     dtype: Any = None
+    shared_stats: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.shared_stats:
+            return self._call_shared(x, train)
         for i in range(self.num_layers):
             x = DenseLayer(self.growth_rate, self.drop_rate, self.bn_size,
                            self.bottleneck, self.dtype,
                            name=f"denselayer{i + 1}")(x, train)
         return x
+
+    def _call_shared(self, x, train: bool):
+        """Shared-batch-stats path: each feature group's per-channel moments
+        are computed ONCE when the group is produced and reused by every later
+        layer's norm — eliminating the per-layer full-prefix stats re-read
+        (the O(L^2) HBM term of the DenseNet topology) with the same math.
+        Variable tree identical to the default path (checkpoints
+        interchangeable); bottleneck layers are not supported."""
+        if self.bottleneck:
+            raise ValueError("shared_stats does not support bottleneck layers")
+        groups, means, variances = [x], [None], [None]
+        if train:
+            means[0], variances[0] = _batch_moments(x)
+        for i in range(self.num_layers):
+            g = DenseLayerShared(self.growth_rate, self.drop_rate, self.dtype,
+                                 name=f"denselayer{i + 1}")(
+                groups, means, variances, train)
+            groups.append(g)
+            if train:
+                m, v = _batch_moments(g)
+                means.append(m)
+                variances.append(v)
+            else:
+                means.append(None)
+                variances.append(None)
+        return jnp.concatenate(groups, axis=-1)
 
 
 class Transition(nn.Module):
@@ -276,6 +383,9 @@ class DenseED(nn.Module):
     out_activation: str | None = None
     upsample: str = "nearest"
     dtype: Any = None  # compute dtype (jnp.bfloat16 for MXU speed); params f32
+    # shared per-group BN statistics inside dense blocks (same math + variable
+    # tree; cuts the O(L^2) per-layer stats re-reduction — see DenseBlock)
+    shared_stats: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -296,6 +406,7 @@ class DenseED(nn.Module):
         for i, num_layers in enumerate(enc_blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
                            self.bn_size, self.bottleneck, self.dtype,
+                           shared_stats=self.shared_stats,
                            name=f"encblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             x = Transition(num_features // 2, down=True,
@@ -305,6 +416,7 @@ class DenseED(nn.Module):
         for i, num_layers in enumerate(dec_blocks):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
                            self.bn_size, self.bottleneck, self.dtype,
+                           shared_stats=self.shared_stats,
                            name=f"decblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             if i < len(dec_blocks) - 1:

@@ -111,3 +111,95 @@ def test_res_cppn_shapes():
     assert model.apply(variables, x).shape == (16, 1)
 
 
+
+
+class TestSharedStats:
+    """The shared-BN-stats dense-block path (DenseED(shared_stats=True)):
+    same variable tree as the default, same outputs/grads/stat updates to
+    float tolerance — the only difference is WHERE batch moments are reduced
+    (once per produced group vs once per consuming layer)."""
+
+    def _pair(self, dtype=None):
+        kw = dict(in_channels=1, out_channels=3, imsize=32, blocks=[3, 4, 3],
+                  growth_rate=8, init_features=16, dtype=dtype)
+        return DenseED(**kw), DenseED(**kw, shared_stats=True)
+
+    def test_variable_tree_identical(self):
+        ref, shared = self._pair()
+        x = jnp.zeros((2, 32, 32, 1))
+        v1 = jax.eval_shape(lambda k, x: ref.init(k, x, train=False),
+                            jax.random.key(0), x)
+        v2 = jax.eval_shape(lambda k, x: shared.init(k, x, train=False),
+                            jax.random.key(0), x)
+        assert (jax.tree_util.tree_structure(v1)
+                == jax.tree_util.tree_structure(v2))
+        for a, b in zip(jax.tree_util.tree_leaves(v1),
+                        jax.tree_util.tree_leaves(v2)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+
+    def test_train_forward_and_stats_match(self):
+        ref, shared = self._pair()
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, 32, 32, 1)).astype(np.float32))
+        variables = ref.init(jax.random.key(1), x, train=False)
+        y1, m1 = ref.apply(variables, x, train=True, mutable=["batch_stats"])
+        y2, m2 = shared.apply(variables, x, train=True,
+                              mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=2e-5, atol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(m1["batch_stats"]),
+                        jax.tree_util.tree_leaves(m2["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_eval_forward_matches(self):
+        ref, shared = self._pair()
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 32, 32, 1)).astype(np.float32))
+        variables = ref.init(jax.random.key(2), x, train=False)
+        # advance running stats one step so eval isn't trivially zeros/ones
+        _, m = ref.apply(variables, x, train=True, mutable=["batch_stats"])
+        variables = {"params": variables["params"], **m}
+        y1 = ref.apply(variables, x, train=False)
+        y2 = shared.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_gradients_match(self):
+        ref, shared = self._pair()
+        x = jnp.asarray(np.random.default_rng(2).normal(
+            size=(4, 32, 32, 1)).astype(np.float32))
+        variables = ref.init(jax.random.key(3), x, train=False)
+
+        def loss(params, model):
+            y, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.mean(y ** 2)
+
+        g1 = jax.grad(loss)(variables["params"], ref)
+        g2 = jax.grad(loss)(variables["params"], shared)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-6)
+
+    def test_bf16_forward_close(self):
+        ref, shared = self._pair(dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.default_rng(3).normal(
+            size=(2, 32, 32, 1)).astype(np.float32))
+        variables = ref.init(jax.random.key(4), x, train=False)
+        y1, _ = ref.apply(variables, x, train=True, mutable=["batch_stats"])
+        y2, _ = shared.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+        assert y1.dtype == y2.dtype == jnp.float32  # heads cast back to f32
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_bottleneck_rejected(self):
+        model = DenseED(1, 3, imsize=32, blocks=[3, 4, 3], growth_rate=8,
+                        init_features=16, bottleneck=True, shared_stats=True)
+        x = jnp.zeros((2, 32, 32, 1))
+        with pytest.raises(ValueError, match="bottleneck"):
+            jax.eval_shape(lambda k, x: model.init(k, x, train=False),
+                           jax.random.key(0), x)

@@ -12,6 +12,10 @@ while ! grep -q CAMPAIGN_R3D_DONE logs/campaign_r3d.log 2>/dev/null; do
   sleep 120
 done
 
+# --- shared-BN-stats dense block A/B (round-3 perf candidate) ------------
+bash tools/tpu_gate.sh
+timeout 3600 $PY tools/sharedstats_probe.py > logs/sharedstats_probe_r3.log 2>&1
+
 # --- cGlow kle512@64: 200ep donor + 200ep warm-start extension ----------
 bash tools/tpu_gate.sh
 timeout 10800 $PY -m pde_surrogate_tpu.cli.train_cglow_reverse_kl \
