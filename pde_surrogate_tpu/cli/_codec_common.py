@@ -140,7 +140,8 @@ def run_codec_training(args, loss_kind: str):
                     blocks=args.blocks, growth_rate=args.growth_rate,
                     init_features=args.init_features,
                     drop_rate=args.drop_rate, out_activation=None,
-                    upsample=args.upsample, dtype=dtype)
+                    upsample=args.upsample, dtype=dtype,
+                    shared_stats=getattr(args, "shared_stats", False))
 
     train_file, test_file = resolve_dataset_files(
         args, need_train_output=(loss_kind == "mle"))

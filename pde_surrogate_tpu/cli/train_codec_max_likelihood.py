@@ -42,6 +42,9 @@ class Parser(BaseParser):
         self.add_argument("--dtype", type=str, default="f32",
                           choices=["f32", "bf16"],
                           help="conv compute dtype (params stay f32)")
+        self.add_argument("--shared-stats", action="store_true", default=False,
+                          help="dense blocks reuse per-group BN batch moments "
+                               "(models/codec.DenseBlock shared_stats)")
         self.add_argument("--batch-size", type=int, default=32)
         self.add_argument("--test-batch-size", type=int, default=64)
         self.add_argument("--seed", type=int, default=1)

@@ -64,6 +64,11 @@ class Parser(BaseParser):
                           choices=["f32", "bf16"],
                           help="conv compute dtype (params stay f32; bf16 "
                                "is ~1.3x faster, slightly different numerics)")
+        self.add_argument("--shared-stats", action="store_true", default=False,
+                          help="dense blocks reuse per-group BN batch moments "
+                               "instead of re-reducing the concat prefix at "
+                               "every layer (same math + checkpoint tree; "
+                               "models/codec.DenseBlock shared_stats)")
         self.add_argument("--batch-size", type=int, default=32)
         self.add_argument("--test-batch-size", type=int, default=64)
         self.add_argument("--seed", type=int, default=1)

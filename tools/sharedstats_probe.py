@@ -64,7 +64,9 @@ def equivalence_check():
     sobel = SobelFilter(imsize)
     from pde_surrogate_tpu.ops.darcy import mixed_residual_loss
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=0)
     def loss_of(model_shared):
         def f(m):
             y, _ = m.apply(variables, x, train=True, mutable=["batch_stats"])
