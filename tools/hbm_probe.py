@@ -174,25 +174,23 @@ print(f"[hbm] implied traffic at stream BW: "
 
 # --- optional: profiler trace + per-op breakdown ---------------------------
 if args.trace:
-    import glob
-    import gzip
     import os
     with jax.profiler.trace(args.trace):
         for _ in range(5):
             state, m = step(state, x)
         fence(m["loss"])
     print(f"[hbm] trace written under {args.trace}", flush=True)
-    xplanes = sorted(glob.glob(os.path.join(
-        args.trace, "plugins/profile/*/*.xplane.pb")))
-    if xplanes:
-        try:
-            from tensorboard_plugin_profile.convert import raw_to_tool_data
-            data, _ = raw_to_tool_data.xspace_to_tool_data(
-                [xplanes[-1]], "framework_op_stats", {})
-            out_path = os.path.join(args.trace, "op_stats.json")
-            with open(out_path, "w") as f:
-                f.write(data if isinstance(data, str)
-                        else data.decode("utf-8", "replace"))
-            print(f"[hbm] op stats -> {out_path}", flush=True)
-        except Exception as e:  # noqa: BLE001 — plugin API varies
-            print(f"[hbm] op-stats conversion failed: {e}", flush=True)
+    # tensorboard_plugin_profile's xplane converters are broken on this
+    # image (protobuf/pywrap mismatch); parse the chrome trace instead.
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from trace_op_shares import op_shares
+        by, total = op_shares(args.trace, 5)
+        print(f"[hbm] device op shares ({total / 5e3:.3f} ms/step):",
+              flush=True)
+        for name, d in sorted(by.items(), key=lambda kv: -kv[1]):
+            if d / total >= 0.001:
+                print(f"[hbm] {d / 5e3:8.3f} ms/step  "
+                      f"{100 * d / total:5.1f}%  {name}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"[hbm] op-share parse failed: {e}", flush=True)
