@@ -135,11 +135,13 @@ def min_traffic_bytes(batch, imsize=64, blocks=(6, 8, 6), growth=16,
     total = fwd * 3.0
     # Adam: read params+m+v, write params+m+v
     n_params = 740_091
-    total += 6 * n_params * word
+    total += 6 * n_params * 4  # params/moments stay f32 in every mode
     return total
 
 
-bytes_floor = min_traffic_bytes(args.batch)
+# activation word size follows the conv compute dtype; params stay f32
+bytes_floor = min_traffic_bytes(args.batch,
+                                word=2 if args.dtype == "bf16" else 4)
 print(f"[hbm] analytic floor: {bytes_floor / 1e9:.3f} GB/step "
       f"(batch {args.batch}, perfect fusion, exact BN)", flush=True)
 
