@@ -72,12 +72,17 @@ class Parser(BaseParser):
         self.add_argument("--test-batch-size", type=int, default=64)
         self.add_argument("--seed", type=int, default=1)
         self.add_argument("--n-devices", type=int, default=None)
-        self.add_argument("--scan-epochs", action="store_true", default=False,
-                          help="run each epoch as ONE device program. The "
-                               "flow's scanned epoch measured ~3.5x slower "
-                               "than eager dispatch on v5e (unlike the codec,"
-                               " where scan wins), so eager is the default "
-                               "here")
+        self.add_argument("--no-scan-epochs", dest="scan_epochs",
+                          action="store_false", default=True,
+                          help="use the eager per-step hot loop instead of "
+                               "one device program per epoch. (The round-2 "
+                               "'scan ~3.5x slower' anomaly was the generic "
+                               "epoch fn dragging the loop-invariant LU "
+                               "constants through the scan carry; "
+                               "make_glow_epoch_fn carries only the trained "
+                               "leaves and scan now matches eager on-device "
+                               "while saving per-step tunnel dispatches — "
+                               "logs/glow_scan_probe_r3.log)")
         self.add_argument("--resume", action="store_true", default=False)
         self.add_argument("--init-from", type=str, default=None,
                           help="run dir (or 'dir:epoch') to warm-start "
@@ -265,12 +270,14 @@ def main(argv=None):
             logger["nrmse_test"].append(relative_l2.tolist())
             logger["entropy_test"].append(-ent)
 
-    # eager per-step hot loop by default (see _codec_common for the axon
-    # measurement); --scan-epochs runs each epoch as one device program —
-    # bitwise identical because per-step keys fold the step counter
+    # scan-epochs default: one device program per epoch, with the
+    # loop-invariant constants/key OUT of the scan carry (the round-2
+    # anomaly — 571.8 vs 25.5 ms/step — was carry-copying them); same
+    # math/keys as eager (per-step keys fold the counter), equal to
+    # executable-level float reassociation
     if args.scan_epochs:
-        from ..train.codec_trainer import make_epoch_fn
-        epoch_fn = make_epoch_fn(train_step.core, sharding)
+        from ..train.glow_trainer import make_glow_epoch_fn
+        epoch_fn = make_glow_epoch_fn(train_step.core, sharding)
 
     print("Start training..." + "." * 54)
     tic = time.time()

@@ -182,3 +182,38 @@ def test_uq_test_metric_all_nan(tmp_path):
     assert rel.shape == (3,) and np.isnan(rel).all() and np.isnan(r2).all()
     stats = np.loadtxt(tmp_path / "log_stats.txt")
     assert stats[0] == bs and stats[2] == 1.0
+
+
+def test_glow_scan_epoch_matches_eager():
+    """make_glow_epoch_fn (constants/key out of the scan carry —
+    logs/glow_scan_probe_r3.log) must match the eager loop: per-step keys
+    fold state.step, so the math is identical; the compiled epoch
+    executable fuses differently than the step executable, so agreement
+    is float-reassociation-level, not bitwise."""
+    from pde_surrogate_tpu.train.glow_trainer import make_glow_epoch_fn
+
+    model, state, tx, x, y, n = _setup(bs=8)
+    step = make_reverse_kl_step(model, tx, SobelFilter(n), beta=150.0,
+                                weight_bound=50.0, n_out_pixels=3 * n * n)
+    steps = 3
+    xs = jnp.asarray(sample_kle(8 * steps, n, 16, rng=2)[..., None])
+    idx = jnp.arange(8 * steps, dtype=jnp.int32).reshape(steps, 8)
+
+    st_e = state
+    eager_losses = []
+    for s in range(steps):
+        st_e, m = jax.jit(step.core)(st_e, jnp.take(xs, idx[s], axis=0))
+        eager_losses.append(float(m["loss"]))
+
+    epoch_fn = make_glow_epoch_fn(step.core)
+    st_s, metrics = epoch_fn(state, idx, xs)
+    np.testing.assert_allclose(np.asarray(metrics["loss"]),
+                               np.asarray(eager_losses, np.float32),
+                               rtol=1e-5)
+    assert int(st_s.step) == steps
+    # Step k's loss is computed on step k-1's params, so the 1e-7-level
+    # agreement across all steps pins the applied updates too.  Direct
+    # end-param comparison is NOT meaningful here: leaves with ~zero
+    # gradient (Conv2dZeros-style zero-init heads) get Adam updates of
+    # +-lr * sign(noise), so executable-level reassociation flips signs
+    # and leaves diverge by O(lr) with no effect on the loss.
