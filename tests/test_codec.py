@@ -10,7 +10,8 @@ from pde_surrogate_tpu.models.codec import (
 from pde_surrogate_tpu.models.cppn import CPPN, ResCPPN, fc_model_size
 
 
-@pytest.mark.parametrize("imsize", [32, 64])
+@pytest.mark.parametrize(
+    "imsize", [32, pytest.param(64, marks=pytest.mark.slow)])
 @pytest.mark.parametrize("upsample", ["nearest", "bilinear"])
 def test_dense_ed_shapes(imsize, upsample):
     model = DenseED(in_channels=1, out_channels=3, imsize=imsize,
@@ -24,6 +25,7 @@ def test_dense_ed_shapes(imsize, upsample):
     assert y.shape == (2, imsize, imsize, 3)
 
 
+@pytest.mark.slow
 def test_dense_ed_odd_imsize():
     """Odd image sizes use in-conv padding 2 (models/codec.py:238-243)."""
     model = DenseED(1, 3, imsize=65, blocks=[3, 4, 3], growth_rate=8,
@@ -36,6 +38,7 @@ def test_dense_ed_odd_imsize():
     assert y.shape[1] in (64, 65, 66)  # reference emits 64 for 65 input
 
 
+@pytest.mark.slow
 def test_dense_ed_reference_size():
     """The north-star config (blocks [6,8,6], K=16, init 48) reproduces the
     reference's exact parameter count: torch prints '# params 740091,
@@ -64,6 +67,7 @@ def test_dense_ed_train_updates_batch_stats():
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
 
 
+@pytest.mark.slow
 def test_decoder_shapes():
     model = Decoder(dim_latent=1, out_channels=3, blocks=[8, 6])
     z = jnp.zeros((1, 16, 16, 1))

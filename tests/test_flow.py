@@ -188,6 +188,7 @@ def test_glow_config_validation():
                         _x((1, 16, 16, 1)), train=False)
 
 
+@pytest.mark.slow
 def test_glow_eps_list_length_guard():
     """A wrong-length eps_list fails loudly (reference asserts this) instead
     of an opaque shape error deep in the reverse flow."""
@@ -238,6 +239,7 @@ def test_glow_generate_forward_consistency():
                                rtol=2e-3, atol=0.5)
 
 
+@pytest.mark.slow
 def test_glow_sample_shapes():
     model = _tiny_glow()
     x = _x((2, 16, 16, 1))

@@ -1,6 +1,7 @@
 """Reverse-KL glow training step + data-init + eval + UQ facade tests."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,7 @@ def test_reverse_kl_step_runs_and_descends():
     assert np.isfinite(glow_lr(state))
 
 
+@pytest.mark.slow
 def test_glow_lr_without_nan_guard():
     """glow_lr must read the lr through InjectHyperparamsState directly when
     nan_guard=False (regression: it unwrapped .inner_state once

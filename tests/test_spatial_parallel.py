@@ -19,6 +19,7 @@ def test_spatial_solver_matches_single_device(rng):
     np.testing.assert_allclose(u_sp, u_ref, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_spatial_solver_sharded_output(rng):
     n = 32
     K = jnp.asarray(sample_kle(1, n, 64, rng=rng)[0])
