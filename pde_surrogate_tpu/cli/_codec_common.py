@@ -172,15 +172,17 @@ def run_codec_training(args, loss_kind: str):
     sobel = SobelFilter(args.imsize, correct=True,
                         filter_size=getattr(args, "sobel_size", 3))
     physics = getattr(args, "physics", "sobel")
+    fvcg_weight = getattr(args, "fvcg_weight", 100.0)
     if loss_kind == "mixed_residual":
         train_step = make_mixed_residual_step(model, tx, sobel,
                                               args.weight_bound,
                                               dropout_seed=args.seed,
-                                              physics=physics)
+                                              physics=physics,
+                                              fvcg_weight=fvcg_weight)
     else:
         train_step = make_mle_step(model, tx, dropout_seed=args.seed)
     eval_step = make_eval_step(model, sobel, args.weight_bound,
-                               physics=physics)
+                               physics=physics, fvcg_weight=fvcg_weight)
 
     start_epoch = 1
     restored_meta: dict = {}

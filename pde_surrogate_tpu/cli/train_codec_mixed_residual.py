@@ -51,7 +51,7 @@ class Parser(BaseParser):
         self.add_argument("--sobel-size", type=int, default=3, choices=[3, 5],
                           help="derivative stencil for the physics loss")
         self.add_argument("--physics", type=str, default="sobel",
-                          choices=["sobel", "fv", "fvcg"],
+                          choices=["sobel", "fv", "fvcg", "sobel_fvcg"],
                           help="label-free objective: 'sobel' = the "
                                "reference's mixed residual (models/darcy.py"
                                ":162-233); 'fv' = the exactly-identifiable "
@@ -59,7 +59,12 @@ class Parser(BaseParser):
                                "(ops/darcy.fv_mixed_residual_loss — "
                                "measured ill-conditioned, docs/RESULTS.md); "
                                "'fvcg' = the CG-preconditioned error "
-                               "objective (ops/darcy.fv_cg_error_loss)")
+                               "objective (ops/darcy.fv_cg_error_loss); "
+                               "'sobel_fvcg' = sobel + the CG-recovered "
+                               "pressure-error anchor (hybrid)")
+        self.add_argument("--fvcg-weight", type=float, default=100.0,
+                          help="weight of the CG pressure-error term in "
+                               "the sobel_fvcg hybrid objective")
         self.add_argument("--dtype", type=str, default="f32",
                           choices=["f32", "bf16"],
                           help="conv compute dtype (params stay f32; bf16 "
@@ -102,6 +107,8 @@ class Parser(BaseParser):
             hparams += f"_sobel{args.sobel_size}"
         if args.physics != "sobel":
             hparams += f"_{args.physics}"
+            if args.physics == "sobel_fvcg" and args.fvcg_weight != 100.0:
+                hparams += f"{args.fvcg_weight:g}"
         if args.upsample != "nearest":
             hparams += f"_{args.upsample}"
         if args.dtype != "f32":

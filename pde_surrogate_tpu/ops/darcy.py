@@ -249,41 +249,24 @@ def fv_mixed_residual_loss(input: jax.Array, output: jax.Array,
     return loss, (pde, dirichlet, neumann)
 
 
-def fv_cg_error_loss(input: jax.Array, output: jax.Array,
-                     weight_bound: float = 10.0, n_cg: int = 64):
-    """Preconditioned-error label-free objective (round-3; no reference
-    counterpart): k CG iterations applied to the FV residual INSIDE the loss.
+def fv_cg_u_error(input: jax.Array, output: jax.Array,
+                  n_cg: int = 64) -> jax.Array:
+    """The CG-preconditioned pressure-error estimate, ``mean(e_k^2)``.
 
-    Measured motivation (logs/fv_channelized_300ep.log): the exactly-
-    identifiable FV residual (fv_mixed_residual_loss) trains to loss 2e-4 on
-    channelized while test u R^2 ~ 0 — identifiability is not the wall,
-    CONDITIONING is.  ||r|| small does not imply ||e|| small when
-    kappa(A) ~ n^2 * contrast: smooth error modes produce residuals smaller
-    by the eigenvalue ratio, so residual descent leaves the smooth
-    components of the error untouched.
-
-    Fix: the error satisfies A e = r exactly, so run ``n_cg`` Jacobi-
-    preconditioned CG iterations on (A(K), r(u_hat)) inside the loss and
-    penalize ``mean(e_k^2)``.  As n_cg -> infinity this IS the squared error
-    norm ||u_hat - u*||^2 (perfectly conditioned, gradient ~ the error
-    itself); at n_cg ~ 64 the Krylov polynomial already amplifies the smooth
-    modes the raw residual cannot see.  Cost: n_cg stencil matvecs
-    (~megaFLOPs) — invisible next to the 137-GFLOP DenseED step.  Still
-    label-free: no solver output is ever compared against, only K and the
-    net's own prediction enter.
-
-    Same return structure as ``mixed_residual_loss``; pde = cg-error +
-    flux-consistency (the exact label convention, as in
-    ``fv_mixed_residual_loss``).
+    The u-term of ``fv_cg_error_loss``, exposed standalone so the hybrid
+    ``sobel_fvcg`` objective can add an exact (label-free) pressure anchor
+    to the reference's Sobel mixed residual: the Sobel loss leaves u's
+    interior offset nearly flat (the u-drift lottery; the channelized
+    wall), while ``A e = r`` recovers the pressure error itself.  Measured
+    alone (docs/RESULTS.md): u R^2 0.982 on channelized — but fluxes worse
+    than Sobel's, hence the hybrid.
     """
     from ..solvers.fd_darcy import (_apply_operator, _face_conductivities,
-                                    _faces_to_nodes, _harm, _interior_mask)
+                                    _interior_mask)
 
-    K = input[..., 0]                     # (B, n, n)
+    K = input[..., 0]
     u = output[..., 0]
-    sigma = output[..., 1:]               # (B, n, n, 2)
     n = K.shape[-1]
-    h = 1.0 / (n - 1)
 
     def cg_error(Ki, ui):
         faces = _face_conductivities(Ki)
@@ -319,7 +302,45 @@ def fv_cg_error_loss(input: jax.Array, output: jax.Array,
         return e
 
     e = jax.vmap(cg_error)(K, u)
-    err_u = jnp.mean(e ** 2)
+    return jnp.mean(e ** 2)
+
+
+def fv_cg_error_loss(input: jax.Array, output: jax.Array,
+                     weight_bound: float = 10.0, n_cg: int = 64):
+    """Preconditioned-error label-free objective (round-3; no reference
+    counterpart): k CG iterations applied to the FV residual INSIDE the loss.
+
+    Measured motivation (logs/fv_channelized_300ep.log): the exactly-
+    identifiable FV residual (fv_mixed_residual_loss) trains to loss 2e-4 on
+    channelized while test u R^2 ~ 0 — identifiability is not the wall,
+    CONDITIONING is.  ||r|| small does not imply ||e|| small when
+    kappa(A) ~ n^2 * contrast: smooth error modes produce residuals smaller
+    by the eigenvalue ratio, so residual descent leaves the smooth
+    components of the error untouched.
+
+    Fix: the error satisfies A e = r exactly, so run ``n_cg`` Jacobi-
+    preconditioned CG iterations on (A(K), r(u_hat)) inside the loss and
+    penalize ``mean(e_k^2)``.  As n_cg -> infinity this IS the squared error
+    norm ||u_hat - u*||^2 (perfectly conditioned, gradient ~ the error
+    itself); at n_cg ~ 64 the Krylov polynomial already amplifies the smooth
+    modes the raw residual cannot see.  Cost: n_cg stencil matvecs
+    (~megaFLOPs) — invisible next to the 137-GFLOP DenseED step.  Still
+    label-free: no solver output is ever compared against, only K and the
+    net's own prediction enter.
+
+    Same return structure as ``mixed_residual_loss``; pde = cg-error +
+    flux-consistency (the exact label convention, as in
+    ``fv_mixed_residual_loss``).
+    """
+    from ..solvers.fd_darcy import _faces_to_nodes, _harm
+
+    K = input[..., 0]                     # (B, n, n)
+    u = output[..., 0]
+    sigma = output[..., 1:]               # (B, n, n, 2)
+    n = K.shape[-1]
+    h = 1.0 / (n - 1)
+
+    err_u = fv_cg_u_error(input, output, n_cg)
 
     # flux consistency against u_hat's own conservative face fluxes — the
     # exact label convention (fd_darcy.darcy_fields)

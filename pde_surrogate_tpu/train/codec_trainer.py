@@ -26,7 +26,8 @@ import optax
 from flax.core import FrozenDict
 
 from ..ops.darcy import (flux_pressure_consistency, fv_cg_error_loss,
-                         fv_mixed_residual_loss, mixed_residual_loss)
+                         fv_cg_u_error, fv_mixed_residual_loss,
+                         mixed_residual_loss)
 from ..ops.filters import SobelFilter
 from ..utils.metrics import relative_l2, squared_error_sum
 from .schedules import one_cycle_schedule
@@ -88,14 +89,28 @@ def _dropout_rngs(state: CodecState, seed: int = 0):
     return {"dropout": jax.random.fold_in(jax.random.key(seed), state.step)}
 
 
-def _physics_loss(physics: str, x, output, sobel, weight_bound, nonlinear):
+def _physics_loss(physics: str, x, output, sobel, weight_bound, nonlinear,
+                  fvcg_weight: float = 100.0):
     """Dispatch between label-free objectives: 'sobel' = the reference's
     mixed residual (models/darcy.py:162-233); 'fv' = the exactly-
     identifiable FV residual (ill-conditioned — measured negative result,
     docs/RESULTS.md); 'fvcg' = the CG-preconditioned error objective
-    (ops/darcy.fv_cg_error_loss, round-3)."""
+    (ops/darcy.fv_cg_error_loss, round-3); 'sobel_fvcg' = the hybrid:
+    Sobel mixed residual (best flux supervision) + fvcg_weight x the
+    CG-recovered pressure-error norm (exact label-free u anchor — kills
+    the flat interior-offset direction behind the u-drift lottery and the
+    channelized u wall)."""
     if physics == "sobel":
         return mixed_residual_loss(x, output, sobel, weight_bound, nonlinear)
+    if physics == "sobel_fvcg":
+        if nonlinear is not None:
+            raise ValueError("physics='sobel_fvcg' supports the linear law "
+                             "only")
+        loss, (pde, diri, neum) = mixed_residual_loss(
+            x, output, sobel, weight_bound, None)
+        err_u = fv_cg_u_error(x, output)
+        return loss + fvcg_weight * err_u, (pde + fvcg_weight * err_u,
+                                            diri, neum)
     if physics in ("fv", "fvcg"):
         if nonlinear is not None:
             raise ValueError(f"physics='{physics}' supports the linear law "
@@ -110,7 +125,8 @@ def make_mixed_residual_step(model, tx, sobel: SobelFilter,
                              weight_bound: float = 10.0,
                              nonlinear: str | None = None,
                              dropout_seed: int = 0,
-                             physics: str = "sobel"):
+                             physics: str = "sobel",
+                             fvcg_weight: float = 100.0):
     """Label-free physics-constrained step: batch is (K,) images only.
 
     The returned jitted step exposes the un-jitted body as ``.core`` so
@@ -124,7 +140,8 @@ def make_mixed_residual_step(model, tx, sobel: SobelFilter,
                 x, train=True, mutable=["batch_stats"],
                 rngs=_dropout_rngs(state, dropout_seed))
             loss, (pde, dirichlet, neumann) = _physics_loss(
-                physics, x, output, sobel, weight_bound, nonlinear)
+                physics, x, output, sobel, weight_bound, nonlinear,
+                fvcg_weight)
             return loss, (mutated["batch_stats"], pde, dirichlet, neumann)
 
         (loss, (bstats, pde, diri, neum)), grads = jax.value_and_grad(
@@ -230,7 +247,8 @@ def _gather_epoch(idx, arrays, epoch_sharding):
 
 
 def make_eval_step(model, sobel: SobelFilter, weight_bound: float = 10.0,
-                   nonlinear: str | None = None, physics: str = "sobel"):
+                   nonlinear: str | None = None, physics: str = "sobel",
+                   fvcg_weight: float = 100.0):
     """Test-set step: physics loss + per-sample metrics vs targets.
 
     Mirrors the reference test() (train_codec_mixed_residual.py:166-206):
@@ -244,7 +262,7 @@ def make_eval_step(model, sobel: SobelFilter, weight_bound: float = 10.0,
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False)
         loss, (pde, diri, neum) = _physics_loss(
-            physics, x, output, sobel, weight_bound, nonlinear)
+            physics, x, output, sobel, weight_bound, nonlinear, fvcg_weight)
         return {
             "loss": loss,
             "rel_l2": relative_l2(output, y),

@@ -296,3 +296,48 @@ def test_fv_cg_error_loss_measures_the_error_norm():
     # differentiable and finite at the default iteration budget
     g = jax.grad(lambda o: fv_cg_error_loss(inp, o)[0])(drifted)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_sobel_fvcg_hybrid_components():
+    """The hybrid loss = sobel mixed residual + w * CG pressure-error:
+    exact at the truth (err_u -> 0 leaves the sobel floor), and the u-term
+    responds to an interior pressure offset the sobel loss cannot see."""
+    import jax
+
+    from pde_surrogate_tpu.ops.darcy import fv_cg_u_error
+    from pde_surrogate_tpu.ops.filters import SobelFilter
+    from pde_surrogate_tpu.solvers.fd_darcy import solve_darcy_batch_fast
+    from pde_surrogate_tpu.train.codec_trainer import _physics_loss
+
+    n = 17
+    key = jax.random.key(0)
+    K = jnp.exp(jax.random.normal(key, (2, n, n)))
+    out = jnp.moveaxis(solve_darcy_batch_fast(K), 1, -1)  # (B, n, n, 3)
+    inp = K[..., None]
+    sobel = SobelFilter(n)
+
+    err_true = float(fv_cg_u_error(inp, out, n_cg=2 * n))
+    assert err_true < 1e-8  # exact at the FV solution
+
+    # interior bump invisible to Dirichlet edges: the sobel loss moves a
+    # little (gradient terms), the CG error term sees the offset directly
+    bump = 0.3 * jnp.sin(
+        jnp.pi * jnp.arange(n) / (n - 1))[None, :, None] * jnp.sin(
+        jnp.pi * jnp.arange(n) / (n - 1))[None, None, :]
+    out_drift = out.at[..., 0].add(bump)
+    err_drift = float(fv_cg_u_error(inp, out_drift, n_cg=2 * n))
+    assert err_drift > 1e3 * max(err_true, 1e-12)
+
+    w = 100.0
+    l_hybrid, (pde_h, diri_h, _) = _physics_loss(
+        "sobel_fvcg", inp, out, sobel, 10.0, None, w)
+    l_sobel, (pde_s, diri_s, _) = _physics_loss(
+        "sobel", inp, out, sobel, 10.0, None)
+    np.testing.assert_allclose(float(l_hybrid),
+                               float(l_sobel) + w * err_true, rtol=1e-5)
+    np.testing.assert_allclose(float(diri_h), float(diri_s), rtol=1e-6)
+    # gradient flows through the CG term
+    g = jax.grad(lambda o: _physics_loss(
+        "sobel_fvcg", inp, o, sobel, 10.0, None, w)[0])(out_drift)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g[..., 0]).sum()) > 0
