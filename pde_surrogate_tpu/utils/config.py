@@ -16,6 +16,7 @@ import argparse
 import json
 import os
 import random
+import sys
 
 __all__ = ["int_list", "BaseParser", "seed_everything"]
 
@@ -76,6 +77,16 @@ class BaseParser(argparse.ArgumentParser):
 
     def finalize(self, args, hparams: str):
         """Create run/ckpt dirs, seed, persist args.txt."""
+        # Redirected stdout is block-buffered: epoch prints can sit ~8 KB
+        # (tens of epochs / many minutes) before reaching the log, which
+        # reads as a hang and starves log-staleness watchdogs
+        # (tools/hang_watchdog.sh). Epoch cadence IS our liveness signal —
+        # make it line-buffered.
+        try:
+            sys.stdout.reconfigure(line_buffering=True)
+            sys.stderr.reconfigure(line_buffering=True)
+        except (AttributeError, ValueError):
+            pass  # non-reconfigurable streams (e.g. pytest capture)
         enable_compilation_cache()
         if args.debug:
             hparams = "debug/" + hparams
