@@ -96,13 +96,30 @@ def _cg_kernel(k_ref, ind_ref, u_ref, *, n_iter: int, n: int, f: int):
     u_ref[:] = u_d + v * mask
 
 
+def _auto_fields_per_program(n: int) -> int:
+    """Largest power-of-two field count whose ~17 live (f*n, n) f32 buffers
+    (K, 4 face conductivities, diag/inv_diag/mask, b, the 4 CG carries, ap/z
+    and rounding slack) fit the 16 MB scoped-VMEM budget with headroom.
+    16 at n<=64 (4.3 MB est), 8 at n=128 (8.9 MB), 2 at n=256; 16-at-128
+    measurably exceeded the limit by 1.05 MB on v5e
+    (logs/canon_kle512_im128_300ep.log).
+    """
+    budget = 12 * 2 ** 20
+    f = 16
+    while f > 1 and 17 * f * n * n * 4 > budget:
+        f //= 2
+    return f
+
+
 @functools.partial(jax.jit, static_argnames=("n_iter", "fields_per_program",
                                              "interpret"))
 def solve_darcy_pallas(K_batch: jax.Array, n_iter: int = 1536,
-                       fields_per_program: int = 16,
+                       fields_per_program: int | None = None,
                        interpret: bool = False) -> jax.Array:
     """Solve (B, n, n) permeabilities -> (B, n, n) pressures, in-VMEM PCG."""
     bsz, n, _ = K_batch.shape
+    if fields_per_program is None:
+        fields_per_program = _auto_fields_per_program(n)
     f = min(fields_per_program, bsz)
     pad = (-bsz) % f
     if pad:

@@ -54,6 +54,22 @@ def test_pallas_cg_channelized_contrast(rng):
     assert err.max() < 1e-4, err
 
 
+def test_auto_fields_per_program_vmem_bound():
+    """Autosized field count keeps the kernel's ~17 live (f*n, n) f32
+    buffers inside the 12 MiB budget (16 MiB scoped VMEM minus headroom);
+    16-at-128 measurably overflowed on v5e (logs/canon_kle512_im128_300ep.log).
+    """
+    from pde_surrogate_tpu.ops.kernels.cg_darcy import _auto_fields_per_program
+
+    assert _auto_fields_per_program(64) == 16
+    assert _auto_fields_per_program(128) == 8
+    assert _auto_fields_per_program(256) == 2
+    for n in (16, 32, 64, 128, 256, 512):
+        f = _auto_fields_per_program(n)
+        assert f >= 1
+        assert f == 1 or 17 * f * n * n * 4 <= 12 * 2**20
+
+
 def test_pallas_cg_pad_remainder(rng):
     """Batch not divisible by fields_per_program pads then truncates."""
     n = 16
