@@ -32,7 +32,7 @@ from ..models.codec import DenseED
 from ..train.checkpoint import save_checkpoint
 from ..train.codec_trainer import create_state
 from ..utils.torch_import import (check_tree_match, convert_codec_state_dict,
-                                  load_state_dict)
+                                  convert_glow_state_dict, load_state_dict)
 
 
 def import_codec_ckpt(pth: str, epoch: int, out_run_dir: str, *,
@@ -74,8 +74,74 @@ def import_codec_ckpt(pth: str, epoch: int, out_run_dir: str, *,
     return out_run_dir
 
 
+def import_glow_ckpt(pth: str, epoch: int, out_run_dir: str, *,
+                     imsize: int, enc_blocks, flow_blocks,
+                     coupling: str = "dense", LU_decompose: bool = True,
+                     x_channels: int = 1, y_channels: int = 3,
+                     kle: int = 512, ntrain: int = 0,
+                     extra_args: dict | None = None):
+    """Convert a reference cGlow .pth into a ``post_cglow``-ready run dir.
+
+    The reference's pretrained checkpoints (scripts/download_checkpoints.sh)
+    save ``{epoch, model, optimizer, logger}`` (train_cglow_reverse_kl.py:
+    281-289); only the model state_dict is imported.  The run dir's
+    args.txt records ``squeeze_order='reference'`` so post_cglow /
+    predict_cglow rebuild the model with the torch repo's quadrant-tile
+    squeeze (glow_msc.py:415-421) — the encoding those convs were trained
+    on.  Forward parity: tests/test_torch_import.py.
+    """
+    import jax.numpy as jnp
+
+    from ..models.glow import MultiScaleCondGlow
+    from ..train.glow_trainer import create_glow_state
+
+    model = MultiScaleCondGlow(img_size=imsize, x_channels=x_channels,
+                               y_channels=y_channels,
+                               enc_blocks=list(enc_blocks),
+                               flow_blocks=list(flow_blocks),
+                               flow_coupling=coupling,
+                               LU_decompose=LU_decompose,
+                               squeeze_order="reference")
+    sample_y = jnp.zeros((1, imsize, imsize, y_channels), jnp.float32)
+    sample_x = jnp.zeros((1, imsize, imsize, x_channels), jnp.float32)
+    state, _ = create_glow_state(model, jax.random.key(0), sample_y,
+                                 sample_x, lr_max=1e-3, total_steps=1)
+
+    params, batch_stats, constants = convert_glow_state_dict(
+        load_state_dict(pth))
+    problems = (check_tree_match(params, state.params)
+                + check_tree_match(batch_stats, state.batch_stats)
+                + check_tree_match(constants, state.constants))
+    if problems:
+        raise ValueError(
+            "torch state_dict does not match the model topology:\n  "
+            + "\n  ".join(problems)
+            + "\n(check --enc-blocks/--flow-blocks/--coupling)")
+    as_f32 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: jnp.asarray(a, jnp.float32), t)
+    state = state._replace(params=as_f32(params),
+                           batch_stats=as_f32(batch_stats),
+                           constants=as_f32(constants))
+
+    run_args = {
+        "imsize": imsize, "x_channels": x_channels, "y_channels": y_channels,
+        "enc_blocks": list(enc_blocks), "flow_blocks": list(flow_blocks),
+        "coupling": coupling, "LU_decompose": LU_decompose,
+        "squeeze_order": "reference", "kle": kle, "ntrain": ntrain,
+        "data_dir": "./datasets", "weight_decay": 0.0,
+        "imported_from": os.path.abspath(pth), **(extra_args or {})}
+    save_args(out_run_dir, run_args)
+    path = save_checkpoint(os.path.join(out_run_dir, "checkpoints"), epoch,
+                           state, meta={"epoch": epoch,
+                                        "imported_from": os.path.abspath(pth)})
+    print(f"[import] wrote {path}")
+    return out_run_dir
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Import torch codec checkpoint")
+    p.add_argument("--model", type=str, default="codec",
+                   choices=["codec", "glow"])
     p.add_argument("--torch-run-dir", type=str, default=None,
                    help="reference run dir (reads args.txt + latest "
                         "checkpoints/model_epoch*.pth)")
@@ -89,17 +155,40 @@ def main(argv=None):
     p.add_argument("--init-features", type=int, default=48)
     p.add_argument("--drop-rate", type=float, default=0.0)
     p.add_argument("--upsample", type=str, default="nearest")
+    # glow-only
+    p.add_argument("--enc-blocks", type=int, nargs="+", default=[3, 3, 3, 3])
+    p.add_argument("--flow-blocks", type=int, nargs="+", default=[4, 4, 4, 4])
+    p.add_argument("--coupling", type=str, default="dense",
+                   choices=["dense", "wide"])
+    p.add_argument("--no-LU-decompose", action="store_true", default=False)
+    p.add_argument("--kle", type=int, default=512)
     args = p.parse_args(argv)
 
-    hp = dict(imsize=args.imsize, blocks=args.blocks,
-              growth_rate=args.growth_rate, init_features=args.init_features,
-              drop_rate=args.drop_rate, upsample=args.upsample)
+    if args.model == "glow":
+        hp = dict(imsize=args.imsize, enc_blocks=args.enc_blocks,
+                  flow_blocks=args.flow_blocks, coupling=args.coupling,
+                  LU_decompose=not args.no_LU_decompose, kle=args.kle)
+    else:
+        hp = dict(imsize=args.imsize, blocks=args.blocks,
+                  growth_rate=args.growth_rate,
+                  init_features=args.init_features,
+                  drop_rate=args.drop_rate, upsample=args.upsample)
     pth, extra = args.pth, {}
     if args.torch_run_dir:
         ta = load_args(args.torch_run_dir)
-        hp = dict(imsize=ta.imsize, blocks=list(ta.blocks),
-                  growth_rate=ta.growth_rate, init_features=ta.init_features,
-                  drop_rate=ta.drop_rate, upsample=ta.upsample)
+        if args.model == "glow":
+            # reference cGlow args.txt stores the (broken type=list) block
+            # flags as their default lists (train_cglow_reverse_kl.py:36-37)
+            hp = dict(imsize=ta.imsize, enc_blocks=list(ta.enc_blocks),
+                      flow_blocks=list(ta.flow_blocks),
+                      coupling=getattr(ta, "coupling", "dense"),
+                      LU_decompose=getattr(ta, "LU_decompose", True),
+                      kle=getattr(ta, "kle", args.kle))
+        else:
+            hp = dict(imsize=ta.imsize, blocks=list(ta.blocks),
+                      growth_rate=ta.growth_rate,
+                      init_features=ta.init_features,
+                      drop_rate=ta.drop_rate, upsample=ta.upsample)
         extra = {"torch_args": vars(ta)}
         if pth is None:
             cand = sorted(glob.glob(os.path.join(
@@ -115,7 +204,8 @@ def main(argv=None):
     if epoch is None:
         m = re.search(r"epoch(\d+)", os.path.basename(pth))
         epoch = int(m.group(1)) if m else 0
-    import_codec_ckpt(pth, epoch, args.out_run_dir, extra_args=extra, **hp)
+    importer = import_glow_ckpt if args.model == "glow" else import_codec_ckpt
+    importer(pth, epoch, args.out_run_dir, extra_args=extra, **hp)
 
 
 if __name__ == "__main__":

@@ -64,7 +64,9 @@ def main(argv=None):
                                flow_coupling=getattr(run_args, "coupling",
                                                      "dense"),
                                LU_decompose=run_args.LU_decompose,
-                               squeeze_factor=2)
+                               squeeze_factor=2,
+                               squeeze_order=getattr(
+                                   run_args, "squeeze_order", "subpixel"))
 
     # datasets: monte-carlo + val (generated on demand like the trainers)
     mc_file = dataset_path(run_args.data_dir, run_args.imsize,

@@ -69,7 +69,9 @@ def main(argv=None):
                                flow_coupling=getattr(run_args, "coupling",
                                                      "dense"),
                                LU_decompose=run_args.LU_decompose,
-                               squeeze_factor=2)
+                               squeeze_factor=2,
+                               squeeze_order=getattr(
+                                   run_args, "squeeze_order", "subpixel"))
 
     import h5py
     with h5py.File(args.input, "r") as f:

@@ -339,21 +339,38 @@ class FirstRevLayer(nn.Module):
 class Squeeze(nn.Module):
     """Space-to-depth by ``factor`` (role of models/glow_msc.py:400-429), NHWC.
 
-    Output channel order is (c, fy, fx)-major over LOCAL f x f subpixels —
-    the standard Glow/RealNVP squeeze.  Deliberately NOT the reference's
-    reshape, which splits H as (f, H/f) (glow_msc.py:415-421) so its output
-    channels hold f x f coarse tiles (quadrants at f=2) rather than
-    subpixels; the subpixel form preserves locality for the coupling convs.
-    Latents/eps are therefore not positionally comparable to the torch
-    model's — only distributionally.
+    ``order='subpixel'`` (default): channel order (c, fy, fx)-major over
+    LOCAL f x f subpixels — the standard Glow/RealNVP squeeze.  Deliberately
+    NOT the reference's reshape, which splits H as (f, H/f)
+    (glow_msc.py:415-421) so its output channels hold f x f coarse tiles
+    (quadrants at f=2) rather than subpixels; the subpixel form preserves
+    locality for the coupling convs.  Latents/eps are therefore not
+    positionally comparable to the torch model's — only distributionally.
+
+    ``order='reference'``: bit-faithful NHWC transcription of the
+    reference's quadrant-tile reshape (channel = c*f^2 + s1*f + s2 where
+    (s1, s2) index coarse H/W blocks).  Use this when evaluating weights
+    imported from reference checkpoints (utils/torch_import), where the
+    downstream convs were trained on that channel encoding.
     """
     factor: int = 2
+    order: str = "subpixel"
 
     def __call__(self, x, reverse: bool = False):
         f = self.factor
         if f == 1:
             return x
         b, h, w, c = x.shape
+        if self.order == "reference":
+            if reverse:
+                cf = c // (f * f)
+                x = x.reshape(b, h, w, cf, f, f)
+                x = x.transpose(0, 4, 1, 5, 2, 3)
+                return x.reshape(b, h * f, w * f, cf)
+            assert h % f == 0 and w % f == 0
+            x = x.reshape(b, f, h // f, f, w // f, c)
+            x = x.transpose(0, 2, 4, 5, 1, 3)
+            return x.reshape(b, h // f, w // f, c * f * f)
         if reverse:
             cf = c // (f * f)
             x = x.reshape(b, h, w, cf, f, f)
@@ -438,10 +455,11 @@ class RevBlock(nn.Module):
     LU_decompose: bool = True
     train_sampling: bool = True
     do_split: bool = True
+    squeeze_order: str = "subpixel"
 
     def setup(self):
         feats = self.in_features * self.factor ** 2
-        self.squeeze = Squeeze(self.factor)
+        self.squeeze = Squeeze(self.factor, order=self.squeeze_order)
         self.revlayers = [
             RevLayer(feats, self.LU_decompose, self.train_sampling,
                      self.coupling_net, name=f"revlayer{i + 1}")

@@ -161,6 +161,10 @@ class MultiScaleCondGlow(nn.Module):
     squeeze_factor: int = 2
     LU_decompose: bool = True
     train_sampling: bool = True
+    # 'subpixel' (native, locality-preserving) or 'reference' (the torch
+    # repo's quadrant-tile reshape — required when evaluating checkpoints
+    # imported via utils/torch_import.convert_glow_state_dict)
+    squeeze_order: str = "subpixel"
 
     def setup(self):
         if len(self.enc_blocks) != len(self.flow_blocks):
@@ -204,6 +208,7 @@ class MultiScaleCondGlow(nn.Module):
                     n_features, n_layers, self.flow_coupling,
                     self.squeeze_factor, self.LU_decompose,
                     self.train_sampling, do_split=do_split,
+                    squeeze_order=self.squeeze_order,
                     name=f"revblock{i + 1}"))
                 n_features = n_features * self.squeeze_factor ** 2 // 2
         self.flow = blocks

@@ -28,7 +28,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["convert_codec_state_dict", "load_state_dict"]
+__all__ = ["convert_codec_state_dict", "convert_glow_state_dict",
+           "load_state_dict"]
 
 
 def load_state_dict(pth_path: str) -> dict:
@@ -96,6 +97,62 @@ def convert_codec_state_dict(sd: dict) -> tuple[dict, dict]:
             raise ValueError(f"unrecognized state_dict entry: {name} "
                              f"(shape {value.shape})")
     return params, batch_stats
+
+
+def convert_glow_state_dict(sd: dict) -> tuple[dict, dict, dict]:
+    """Reference MultiScaleCondGlow ``state_dict`` -> (params, batch_stats,
+    constants).
+
+    Name surgery vs the flax tree (reference models/glow_msc.py:672-748):
+      - the ``flow.`` Sequential prefix and the ``revlayers.`` /
+        ``reduce.`` container levels don't exist in the flax module tree;
+      - ActNorm (C,1,1) weight/bias flatten to (C,) (glow_msc.py:65-66);
+      - Conv2dZeros ``scale`` (1,C,1,1) flattens to (C,) (glow_msc.py:251);
+      - InvertibleConv1x1LU: ``l``/``u``/``log_s`` are params, ``p``/
+        ``sign_s`` land in the 'constants' collection; the ``l_mask``/
+        ``u_mask``/``eye`` buffers are derived on the fly here and skipped
+        (glow_msc.py:193-200 <-> models/flow.py::InvConv1x1LU).
+
+    The evaluating model must be built with ``squeeze_order='reference'``:
+    reference convs were trained on its quadrant-tile squeeze encoding
+    (glow_msc.py:415-421), not this framework's native subpixel order.
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+    constants: dict = {}
+    skip = {"num_batches_tracked", "l_mask", "u_mask", "eye"}
+    for name, value in sd.items():
+        parts = [p for p in name.split(".")
+                 if p not in ("flow", "revlayers", "reduce")]
+        *modules, leaf = parts
+        if leaf in skip:
+            continue
+        if leaf == "running_mean":
+            _nest(batch_stats, modules + ["mean"], value)
+        elif leaf == "running_var":
+            _nest(batch_stats, modules + ["var"], value)
+        elif leaf in ("p", "sign_s"):
+            _nest(constants, modules + [leaf], value)
+        elif leaf in ("l", "u", "log_s"):
+            _nest(params, modules + [leaf], value)
+        elif leaf == "scale":  # Conv2dZeros channel scale (1, C, 1, 1)
+            _nest(params, modules + ["scale"], value.reshape(-1))
+        elif leaf == "weight" and value.ndim == 4:  # conv (O, I, kH, kW)
+            _nest(params, modules + ["kernel"],
+                  np.ascontiguousarray(value.transpose(2, 3, 1, 0)))
+        elif leaf == "weight" and value.ndim == 3:  # ActNorm (C, 1, 1)
+            _nest(params, modules + ["weight"], value.reshape(-1))
+        elif leaf == "weight" and value.ndim == 2:  # non-LU InvConv (C, C)
+            _nest(params, modules + ["weight"], value)
+        elif leaf == "weight" and value.ndim == 1:  # BatchNorm affine
+            _nest(params, modules + ["scale"], value)
+        elif leaf == "bias":
+            bias = value.reshape(-1) if value.ndim == 3 else value
+            _nest(params, modules + ["bias"], bias)
+        else:
+            raise ValueError(f"unrecognized state_dict entry: {name} "
+                             f"(shape {value.shape})")
+    return params, batch_stats, constants
 
 
 def check_tree_match(imported: dict, template) -> list[str]:

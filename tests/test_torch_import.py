@@ -95,6 +95,114 @@ def test_conv_transpose_import_parity():
     np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-5)
 
 
+def test_glow_import_forward_parity():
+    """Reference MultiScaleCondGlow weights -> flax: forward (y -> z, logp)
+    must agree on the same inputs when the flax model runs with
+    squeeze_order='reference' (the torch repo's quadrant-tile squeeze,
+    glow_msc.py:415-421)."""
+    import jax
+
+    from pde_surrogate_tpu.models.glow import MultiScaleCondGlow
+    from pde_surrogate_tpu.utils.torch_import import (check_tree_match,
+                                                      convert_glow_state_dict)
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import models.glow_msc as ref_glow
+
+    torch.manual_seed(3)
+    imsize, enc_blocks, flow_blocks = 16, [2, 2], [2, 2]
+    tmodel = ref_glow.MultiScaleCondGlow(imsize, 1, 3, enc_blocks,
+                                         flow_blocks, flow_coupling="dense",
+                                         LUdecompose=True,
+                                         train_sampling=True)
+    x = torch.randn(2, 1, imsize, imsize)
+    y = torch.rand(2, 3, imsize, imsize)
+    tmodel.eval()
+    with torch.no_grad():
+        z_ref, logp_ref, _ = tmodel(y, x)
+    z_ref, logp_ref = z_ref.numpy(), logp_ref.numpy()
+
+    sd = {k: np.asarray(v.numpy()) for k, v in tmodel.state_dict().items()}
+    params, batch_stats, constants = convert_glow_state_dict(sd)
+
+    jmodel = MultiScaleCondGlow(img_size=imsize, x_channels=1, y_channels=3,
+                                enc_blocks=enc_blocks,
+                                flow_blocks=flow_blocks,
+                                LU_decompose=True, train_sampling=True,
+                                squeeze_order="reference")
+    y_nhwc = np.moveaxis(y.numpy(), 1, -1)
+    x_nhwc = np.moveaxis(x.numpy(), 1, -1)
+    template = jmodel.init(jax.random.key(0), y_nhwc, x_nhwc, train=False)
+    assert check_tree_match(params, template["params"]) == []
+    assert check_tree_match(batch_stats, template["batch_stats"]) == []
+    assert check_tree_match(constants, template["constants"]) == []
+
+    z, logp, _ = jmodel.apply(
+        {"params": params, "batch_stats": batch_stats,
+         "constants": constants}, y_nhwc, x_nhwc, train=False)
+    z = np.moveaxis(np.asarray(z), -1, 1)
+    np.testing.assert_allclose(z, z_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logp), logp_ref, rtol=1e-4)
+
+
+def test_glow_import_cli_roundtrip(tmp_path):
+    """import_torch_ckpt --model glow -> post_cglow-compatible run dir:
+    the restored checkpoint reproduces the torch forward through the
+    args.txt-rebuilt model (squeeze_order='reference' round-trips)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pde_surrogate_tpu.cli.import_torch_ckpt import import_glow_ckpt
+    from pde_surrogate_tpu.data.hdf5 import load_args
+    from pde_surrogate_tpu.models.glow import MultiScaleCondGlow
+    from pde_surrogate_tpu.train.checkpoint import restore_checkpoint
+    from pde_surrogate_tpu.train.glow_trainer import create_glow_state
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import models.glow_msc as ref_glow
+
+    torch.manual_seed(4)
+    imsize, enc_blocks, flow_blocks = 16, [2, 2], [2, 2]
+    tmodel = ref_glow.MultiScaleCondGlow(imsize, 1, 3, enc_blocks,
+                                         flow_blocks, LUdecompose=True)
+    x = torch.randn(2, 1, imsize, imsize)
+    y = torch.rand(2, 3, imsize, imsize)
+    tmodel.eval()
+    with torch.no_grad():
+        z_ref, logp_ref, _ = tmodel(y, x)
+    # the reference cGlow driver saves a full training dict
+    # (train_cglow_reverse_kl.py:281-289)
+    pth = tmp_path / "model_epoch9.pth"
+    torch.save({"epoch": 9, "model": tmodel.state_dict(),
+                "optimizer": {}, "logger": {}}, pth)
+
+    run_dir = str(tmp_path / "imported_glow")
+    import_glow_ckpt(str(pth), 9, run_dir, imsize=imsize,
+                     enc_blocks=enc_blocks, flow_blocks=flow_blocks)
+    ra = load_args(run_dir)
+    assert ra.squeeze_order == "reference"
+
+    model = MultiScaleCondGlow(img_size=ra.imsize, x_channels=ra.x_channels,
+                               y_channels=ra.y_channels,
+                               enc_blocks=ra.enc_blocks,
+                               flow_blocks=ra.flow_blocks,
+                               LU_decompose=ra.LU_decompose,
+                               squeeze_order=ra.squeeze_order)
+    y_nhwc = jnp.asarray(np.moveaxis(y.numpy(), 1, -1))
+    x_nhwc = jnp.asarray(np.moveaxis(x.numpy(), 1, -1))
+    state, _ = create_glow_state(model, jax.random.key(0), y_nhwc[:1],
+                                 x_nhwc[:1], lr_max=1e-3, total_steps=1)
+    state = restore_checkpoint(os.path.join(run_dir, "checkpoints"), 9, state)
+    z, logp, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "constants": state.constants}, y_nhwc, x_nhwc, train=False)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(z), -1, 1),
+                               z_ref.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logp), logp_ref.numpy(), rtol=1e-4)
+
+
 def test_import_cli_roundtrip(tmp_path):
     """import_torch_ckpt CLI -> predict_codec-compatible run dir."""
     import jax
