@@ -67,8 +67,13 @@ def main():
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
     x = jnp.asarray(sample_kle(batch, imsize, 512, rng=0)[..., None])
+    # shared_stats: per-group BN moments computed once per dense block and
+    # reused by every later layer — identical math (CPU-bitwise-equal,
+    # tests/test_codec.py), ~7% less HBM traffic on TPU
+    # (logs/sharedstats_probe_r3b.log); the concat-impl reference row is
+    # measured below
     model = DenseED(1, 3, imsize=imsize, blocks=[6, 8, 6], growth_rate=16,
-                    init_features=48)
+                    init_features=48, shared_stats=True)
     state, tx = create_state(model, jax.random.key(0), x, lr_max=1e-3,
                              total_steps=100_000)
     step = make_mixed_residual_step(model, tx, SobelFilter(imsize), 10.0)
@@ -113,12 +118,35 @@ def main():
           f"{hbm_ratio:.2f}x the peak-BW streaming rate "
           f"(>=1 = at the HBM roofline)", file=sys.stderr)
 
+    # default concat-impl reference row (the round-2 headline config), so
+    # the shared-stats gain stays auditable round over round
+    model_cc = DenseED(1, 3, imsize=imsize, blocks=[6, 8, 6], growth_rate=16,
+                       init_features=48)
+    state_cc, tx_cc = create_state(model_cc, jax.random.key(0), x,
+                                   lr_max=1e-3, total_steps=100_000)
+    step_cc = make_mixed_residual_step(model_cc, tx_cc, SobelFilter(imsize),
+                                       10.0)
+    state_cc, m = step_cc(state_cc, x)
+    float(m["loss"])
+    for _ in range(10):
+        state_cc, m = step_cc(state_cc, x)
+    float(m["loss"])
+    t0 = time.time()
+    for _ in range(50):
+        state_cc, m = step_cc(state_cc, x)
+    float(m["loss"])
+    cc_sps = batch / ((time.time() - t0) / 50)
+    print(f"[bench] concat-impl reference: {cc_sps:.1f} samples/sec "
+          f"(shared-stats headline gain {100 * (sps / cc_sps - 1):.1f}%)",
+          file=sys.stderr)
+
     # throughput-mode config: bf16 convs, batch 128 (same model/objective;
     # the headline metric above stays the baseline-comparable f32/bs32)
     big = 128
     xb = jnp.asarray(sample_kle(big, imsize, 512, rng=2)[..., None])
     model_tp = DenseED(1, 3, imsize=imsize, blocks=[6, 8, 6], growth_rate=16,
-                       init_features=48, dtype=jnp.bfloat16)
+                       init_features=48, dtype=jnp.bfloat16,
+                       shared_stats=True)
     state_tp, tx_tp = create_state(model_tp, jax.random.key(0), xb,
                                    lr_max=1e-3, total_steps=100_000)
     step_tp = make_mixed_residual_step(model_tp, tx_tp, SobelFilter(imsize),
@@ -206,6 +234,8 @@ def main():
         "driver_loop_samples_per_sec": round(driver_sps, 2),
         "throughput_mode_bf16_bs128_samples_per_sec": round(tp_sps, 2),
         "cglow_reverse_kl_samples_per_sec": round(glow_sps, 2),
+        "dense_stats_impl": "shared",
+        "concat_impl_f32_bs32_samples_per_sec": round(cc_sps, 2),
     }))
 
 
