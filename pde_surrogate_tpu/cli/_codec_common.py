@@ -172,17 +172,18 @@ def run_codec_training(args, loss_kind: str):
     sobel = SobelFilter(args.imsize, correct=True,
                         filter_size=getattr(args, "sobel_size", 3))
     physics = getattr(args, "physics", "sobel")
-    fvcg_weight = getattr(args, "fvcg_weight", 100.0)
+    fvcg_kw = dict(fvcg_weight=getattr(args, "fvcg_weight", 100.0),
+                   fvcg_flux_weight=getattr(args, "fvcg_flux_weight", 0.0),
+                   fvcg_iters=getattr(args, "fvcg_iters", None))
     if loss_kind == "mixed_residual":
         train_step = make_mixed_residual_step(model, tx, sobel,
                                               args.weight_bound,
                                               dropout_seed=args.seed,
-                                              physics=physics,
-                                              fvcg_weight=fvcg_weight)
+                                              physics=physics, **fvcg_kw)
     else:
         train_step = make_mle_step(model, tx, dropout_seed=args.seed)
     eval_step = make_eval_step(model, sobel, args.weight_bound,
-                               physics=physics, fvcg_weight=fvcg_weight)
+                               physics=physics, **fvcg_kw)
 
     start_epoch = 1
     restored_meta: dict = {}

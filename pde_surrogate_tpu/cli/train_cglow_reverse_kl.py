@@ -12,6 +12,7 @@ Run:  python -m pde_surrogate_tpu.cli.train_cglow_reverse_kl \
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -51,6 +52,13 @@ class Parser(BaseParser):
                           choices=["dense", "wide"],
                           help="affine-coupling net type "
                                "(reference README.md:70)")
+        self.add_argument("--squeeze-order", type=str, default=None,
+                          choices=["subpixel", "reference"],
+                          help="squeeze channel encoding (models/flow."
+                               "Squeeze). Default: inherited from the "
+                               "--resume/--init-from source run dir's "
+                               "args.txt (imported reference checkpoints "
+                               "record 'reference'), else 'subpixel'")
         # data
         self.add_argument("--data-dir", type=str, default="./datasets")
         self.add_argument("--kle", type=int, default=100)
@@ -109,6 +117,34 @@ class Parser(BaseParser):
                    f"batch{args.batch_size}_lr{args.lr}_epochs{args.epochs}")
         if args.data_init:
             hparams = hparams + "_data_init"
+        # squeeze_order must match the weights being loaded: the param
+        # trees of both orders are identical, so loading
+        # reference-order weights (import_torch_ckpt --model glow) into a
+        # subpixel-order model is silent numerical corruption.  Resolve
+        # from the source run dir's args.txt BEFORE finalize overwrites
+        # it (resume reuses the run dir).
+        recorded = None
+        if args.resume or args.ckpt_epoch is not None:
+            hp = ("debug/" + hparams) if args.debug else hparams
+            prior = os.path.join(args.exp_dir, args.exp_name, hp, "args.txt")
+            if os.path.exists(prior):
+                with open(prior) as f:
+                    recorded = json.load(f).get("squeeze_order")
+        elif args.init_from:
+            src = args.init_from.partition(":")[0]
+            prior = os.path.join(src, "args.txt")
+            if os.path.exists(prior):
+                with open(prior) as f:
+                    recorded = json.load(f).get("squeeze_order")
+        if recorded is not None:
+            if args.squeeze_order is not None \
+                    and args.squeeze_order != recorded:
+                raise ValueError(
+                    f"--squeeze-order {args.squeeze_order!r} conflicts with "
+                    f"the source run dir's recorded {recorded!r}")
+            args.squeeze_order = recorded
+        if args.squeeze_order is None:
+            args.squeeze_order = "subpixel"
         args = self.finalize(args, hparams)
         # resume: pick up the last recorded checkpoint epoch
         if args.resume and args.ckpt_epoch is None:
@@ -148,7 +184,8 @@ def main(argv=None):
                                flow_blocks=args.flow_blocks,
                                flow_coupling=args.coupling,
                                LU_decompose=args.LU_decompose,
-                               squeeze_factor=2)
+                               squeeze_factor=2,
+                               squeeze_order=args.squeeze_order)
 
     mesh = data_mesh(args.n_devices) if args.n_devices else None
     sharding = batch_sharding(mesh) if mesh else None
@@ -218,33 +255,60 @@ def main(argv=None):
     if mesh:
         state = replicate(state, mesh)
 
+    # scan-epochs: the whole eval set as ONE device program per eval epoch
+    # (make_glow_eval_epoch_fn) — the eager loop pays ~8 tunnel round
+    # trips per epoch.  Plot epochs fall back to eager (they need the
+    # first batch's tensors anyway).
+    eval_epoch_one = eval_epoch_mean = eval_idx = None
+    if args.scan_epochs:
+        from ..train.glow_trainer import make_glow_eval_epoch_fn
+        eval_epoch_one = make_glow_eval_epoch_fn(eval_one.core, sharding)
+        eval_epoch_mean = make_glow_eval_epoch_fn(eval_mean.core, sharding)
+        eval_idx = test_ds.epoch_indices(0)   # shuffle=False: epoch-invariant
+
     def test(epoch, state):
         # entropy is the batch mean (the reference logged only the last
         # batch's — and in fact the *training* loop's, a real bug:
         # train_cglow_reverse_kl.py:177,185).  Accumulate on device; one
         # host sync per eval (per-batch float() costs a tunnel round-trip).
-        losses, ents, rel, sse = [], [], [], []
+        want_plot = (not args.no_plot
+                     and (epoch % args.plot_freq == 0
+                          or epoch == args.epochs))
         plot_batch = None
-        step_fn = eval_mean if epoch % 10 == 0 else eval_one
-        for i, (x, y) in enumerate(test_ds.batches(epoch)):
-            key = jax.random.fold_in(jax.random.key(args.seed + 7),
-                                     epoch * 1000 + i)
-            out = step_fn(state, x, y, key)
-            losses.append(out["loss"])
-            ents.append(out["neg_entropy"])
-            rel.append(out["rel_l2"])
-            sse.append(out["sse"])
-            if i == 0:
-                plot_batch = (x, y)  # device refs; fetched only if plotting
-        loss_test = float(jnp.mean(jnp.stack(losses)))
-        ent = float(jnp.mean(jnp.stack(ents)))
-        relative_l2 = np.asarray(jnp.concatenate(rel, 0).mean(0))
-        r2 = np.asarray(r2_score(jnp.concatenate(sse, 0).sum(0),
-                                 jnp.asarray(y_variation)))
+        if eval_epoch_one is not None and not want_plot:
+            fn = eval_epoch_mean if epoch % 10 == 0 else eval_epoch_one
+            base = jax.random.key(args.seed + 7)
+            keys = jax.vmap(lambda d: jax.random.fold_in(base, d))(
+                epoch * 1000 + jnp.arange(len(test_ds)))
+            ms = fn(state, eval_idx, keys, *test_ds.arrays)
+            loss_test = float(jnp.mean(ms["loss"]))
+            ent = float(jnp.mean(ms["neg_entropy"]))
+            relative_l2 = np.asarray(
+                ms["rel_l2"].reshape(-1, ms["rel_l2"].shape[-1]).mean(0))
+            r2 = np.asarray(r2_score(
+                ms["sse"].reshape(-1, ms["sse"].shape[-1]).sum(0),
+                jnp.asarray(y_variation)))
+        else:
+            losses, ents, rel, sse = [], [], [], []
+            step_fn = eval_mean if epoch % 10 == 0 else eval_one
+            for i, (x, y) in enumerate(test_ds.batches(epoch)):
+                key = jax.random.fold_in(jax.random.key(args.seed + 7),
+                                         epoch * 1000 + i)
+                out = step_fn(state, x, y, key)
+                losses.append(out["loss"])
+                ents.append(out["neg_entropy"])
+                rel.append(out["rel_l2"])
+                sse.append(out["sse"])
+                if i == 0:
+                    plot_batch = (x, y)  # device refs; fetched iff plotting
+            loss_test = float(jnp.mean(jnp.stack(losses)))
+            ent = float(jnp.mean(jnp.stack(ents)))
+            relative_l2 = np.asarray(jnp.concatenate(rel, 0).mean(0))
+            r2 = np.asarray(r2_score(jnp.concatenate(sse, 0).sum(0),
+                                     jnp.asarray(y_variation)))
         print(f"Epoch {epoch}: test r2-score: {r2}")
         print(f"Epoch {epoch}: test relative l2: {relative_l2}")
-        if (not args.no_plot and plot_batch is not None
-                and (epoch % args.plot_freq == 0 or epoch == args.epochs)):
+        if want_plot and plot_batch is not None:
             x_np, y_np = np.asarray(plot_batch[0]), np.asarray(plot_batch[1])
             n_show = 6 if epoch == args.epochs else 2
             idx = np.random.permutation(len(x_np))[:n_show]

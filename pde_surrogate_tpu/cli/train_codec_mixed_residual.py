@@ -65,6 +65,15 @@ class Parser(BaseParser):
         self.add_argument("--fvcg-weight", type=float, default=100.0,
                           help="weight of the CG pressure-error term in "
                                "the sobel_fvcg hybrid objective")
+        self.add_argument("--fvcg-flux-weight", type=float, default=0.0,
+                          help="weight of the flux anchor against the "
+                               "CG-corrected pressure's conservative face "
+                               "fluxes (ops/darcy.fv_cg_anchors; 0 = the "
+                               "round-3 hybrid)")
+        self.add_argument("--fvcg-iters", type=int, default=None,
+                          help="CG depth of the fvcg anchors (default: "
+                               "the grid size — kappa(A) ~ n^2 needs "
+                               "Krylov depth ~ n)")
         self.add_argument("--dtype", type=str, default="f32",
                           choices=["f32", "bf16"],
                           help="conv compute dtype (params stay f32; bf16 "
@@ -108,7 +117,11 @@ class Parser(BaseParser):
         if args.physics != "sobel":
             hparams += f"_{args.physics}"
             if args.physics == "sobel_fvcg" and args.fvcg_weight != 100.0:
-                hparams += f"{args.fvcg_weight:g}"
+                hparams += f"_w{args.fvcg_weight:g}"
+            if args.physics == "sobel_fvcg" and args.fvcg_flux_weight != 0.0:
+                hparams += f"_fw{args.fvcg_flux_weight:g}"
+            if args.fvcg_iters is not None:
+                hparams += f"_cg{args.fvcg_iters}"
         if args.upsample != "nearest":
             hparams += f"_{args.upsample}"
         if args.dtype != "f32":

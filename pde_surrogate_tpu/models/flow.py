@@ -357,6 +357,9 @@ class Squeeze(nn.Module):
     order: str = "subpixel"
 
     def __call__(self, x, reverse: bool = False):
+        if self.order not in ("subpixel", "reference"):
+            raise ValueError(f"Squeeze order must be 'subpixel' or "
+                             f"'reference', got {self.order!r}")
         f = self.factor
         if f == 1:
             return x

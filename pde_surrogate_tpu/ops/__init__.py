@@ -11,6 +11,10 @@ from .darcy import (
     mixed_residual_loss,
     reconstruct_pressure,
     flux_pressure_consistency,
+    fv_cg_anchors,
+    fv_cg_u_error,
+    fv_cg_error_loss,
+    fv_mixed_residual_loss,
     bilinear_interpolate,
     mixed_residual_fc,
     primal_residual_fc,

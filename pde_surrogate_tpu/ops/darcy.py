@@ -249,17 +249,27 @@ def fv_mixed_residual_loss(input: jax.Array, output: jax.Array,
     return loss, (pde, dirichlet, neumann)
 
 
-def fv_cg_u_error(input: jax.Array, output: jax.Array,
-                  n_cg: int = 64) -> jax.Array:
-    """The CG-preconditioned pressure-error estimate, ``mean(e_k^2)``.
+def _resolve_n_cg(n_cg: int | None, n: int) -> int:
+    """Grid-scaled CG depth: ``None`` -> ``n`` iterations.
 
-    The u-term of ``fv_cg_error_loss``, exposed standalone so the hybrid
-    ``sobel_fvcg`` objective can add an exact (label-free) pressure anchor
-    to the reference's Sobel mixed residual: the Sobel loss leaves u's
-    interior offset nearly flat (the u-drift lottery; the channelized
-    wall), while ``A e = r`` recovers the pressure error itself.  Measured
-    alone (docs/RESULTS.md): u R^2 0.982 on channelized — but fluxes worse
-    than Sobel's, hence the hybrid.
+    kappa(A) ~ n^2 * contrast, so the Krylov depth needed to reach the
+    smooth error modes grows ~ sqrt(kappa) ~ n — a fixed 64 that works at
+    64^2 under-resolves 128^2 (measured: the 128^2 hybrid stalled at
+    u R^2 0.82, docs/RESULTS.md).  Mirrors the label solver's
+    grid-proportional iteration sizing (solvers/fd_darcy.py n_iter=24*n),
+    scaled down because the loss needs an error *estimate*, not a solve.
+    """
+    return n if n_cg is None else n_cg
+
+
+def _cg_pressure_errors(input: jax.Array, output: jax.Array,
+                        n_cg: int | None = None) -> jax.Array:
+    """Per-sample CG-recovered pressure error e_k, shape (B, n, n).
+
+    Runs ``n_cg`` Jacobi-preconditioned CG iterations on A(K) e = r(u_hat)
+    where r is the FV residual of the predicted pressure — so u_hat + e_k
+    approaches the true FV solution u* regardless of how wrong u_hat is.
+    Entirely label-free: only K and the net's own prediction enter.
     """
     from ..solvers.fd_darcy import (_apply_operator, _face_conductivities,
                                     _interior_mask)
@@ -267,6 +277,7 @@ def fv_cg_u_error(input: jax.Array, output: jax.Array,
     K = input[..., 0]
     u = output[..., 0]
     n = K.shape[-1]
+    n_cg = _resolve_n_cg(n_cg, n)
 
     def cg_error(Ki, ui):
         faces = _face_conductivities(Ki)
@@ -301,12 +312,71 @@ def fv_cg_u_error(input: jax.Array, output: jax.Array,
         e, _, _, _ = jax.lax.fori_loop(0, n_cg, body, (e, r, p, rz))
         return e
 
-    e = jax.vmap(cg_error)(K, u)
+    return jax.vmap(cg_error)(K, u)
+
+
+def fv_cg_u_error(input: jax.Array, output: jax.Array,
+                  n_cg: int | None = None) -> jax.Array:
+    """The CG-preconditioned pressure-error estimate, ``mean(e_k^2)``.
+
+    The u-term of ``fv_cg_error_loss``, exposed standalone so the hybrid
+    ``sobel_fvcg`` objective can add an exact (label-free) pressure anchor
+    to the reference's Sobel mixed residual: the Sobel loss leaves u's
+    interior offset nearly flat (the u-drift lottery; the channelized
+    wall), while ``A e = r`` recovers the pressure error itself.  Measured
+    alone (docs/RESULTS.md): u R^2 0.982 on channelized — but fluxes worse
+    than Sobel's, hence the hybrid.  ``n_cg=None`` scales the CG depth
+    with the grid (_resolve_n_cg).
+    """
+    e = _cg_pressure_errors(input, output, n_cg)
     return jnp.mean(e ** 2)
 
 
+def fv_cg_anchors(input: jax.Array, output: jax.Array,
+                  n_cg: int | None = None) -> tuple[jax.Array, jax.Array]:
+    """Pressure AND flux anchors from the CG-corrected pressure (round 4).
+
+    Returns ``(err_u, err_flux)``:
+
+    * ``err_u = mean(e_k^2)`` — exactly ``fv_cg_u_error``.
+    * ``err_flux = mean((sigma - flux(u_hat + e_k))^2)`` — penalizes the
+      predicted fluxes against the conservative face fluxes of the
+      CG-*corrected* pressure, node-averaged with the exact label
+      convention (solvers/fd_darcy.darcy_fields).
+
+    Round-3's hybrid anchored only u; its flux supervision was the Sobel
+    constitutive term, whose target ``-K grad_sobel(u_hat)`` inherits
+    u_hat's error and the stencil's truncation error — the measured
+    channelized flux wall (R^2 0.84/0.45 vs supervised 1.00/0.99,
+    docs/RESULTS.md).  Since u_hat + e_k ~= u* independently of training
+    state, ``flux(u_hat + e_k)`` is a near-label target available
+    label-free; objective family extends
+    /root/reference/models/darcy.py:162-233.
+    """
+    from ..solvers.fd_darcy import _faces_to_nodes, _harm
+
+    K = input[..., 0]
+    u = output[..., 0]
+    sigma = output[..., 1:]
+    n = K.shape[-1]
+    h = 1.0 / (n - 1)
+
+    e = _cg_pressure_errors(input, output, n_cg)
+    err_u = jnp.mean(e ** 2)
+
+    u_corr = u + e
+    Kx = _harm(K[..., :, :-1], K[..., :, 1:])
+    Ky = _harm(K[..., :-1, :], K[..., 1:, :])
+    fx = -Kx * (u_corr[..., :, 1:] - u_corr[..., :, :-1]) / h
+    fy = -Ky * (u_corr[..., 1:, :] - u_corr[..., :-1, :]) / h
+    s1_ref, s2_ref = _faces_to_nodes(fx, fy)
+    err_flux = jnp.mean(
+        (sigma - jnp.stack([s1_ref, s2_ref], axis=-1)) ** 2)
+    return err_u, err_flux
+
+
 def fv_cg_error_loss(input: jax.Array, output: jax.Array,
-                     weight_bound: float = 10.0, n_cg: int = 64):
+                     weight_bound: float = 10.0, n_cg: int | None = None):
     """Preconditioned-error label-free objective (round-3; no reference
     counterpart): k CG iterations applied to the FV residual INSIDE the loss.
 

@@ -25,8 +25,8 @@ import jax.numpy as jnp
 import optax
 from flax.core import FrozenDict
 
-from ..ops.darcy import (flux_pressure_consistency, fv_cg_error_loss,
-                         fv_cg_u_error, fv_mixed_residual_loss,
+from ..ops.darcy import (flux_pressure_consistency, fv_cg_anchors,
+                         fv_cg_error_loss, fv_mixed_residual_loss,
                          mixed_residual_loss)
 from ..ops.filters import SobelFilter
 from ..utils.metrics import relative_l2, squared_error_sum
@@ -90,7 +90,9 @@ def _dropout_rngs(state: CodecState, seed: int = 0):
 
 
 def _physics_loss(physics: str, x, output, sobel, weight_bound, nonlinear,
-                  fvcg_weight: float = 100.0):
+                  fvcg_weight: float = 100.0,
+                  fvcg_flux_weight: float = 0.0,
+                  fvcg_iters: int | None = None):
     """Dispatch between label-free objectives: 'sobel' = the reference's
     mixed residual (models/darcy.py:162-233); 'fv' = the exactly-
     identifiable FV residual (ill-conditioned — measured negative result,
@@ -99,7 +101,10 @@ def _physics_loss(physics: str, x, output, sobel, weight_bound, nonlinear,
     Sobel mixed residual (best flux supervision) + fvcg_weight x the
     CG-recovered pressure-error norm (exact label-free u anchor — kills
     the flat interior-offset direction behind the u-drift lottery and the
-    channelized u wall)."""
+    channelized u wall) + fvcg_flux_weight x the flux anchor against the
+    CG-corrected pressure's conservative face fluxes (round 4 —
+    ops/darcy.fv_cg_anchors; 0 reproduces the round-3 hybrid exactly).
+    ``fvcg_iters=None`` scales the CG depth with the grid size."""
     if physics == "sobel":
         return mixed_residual_loss(x, output, sobel, weight_bound, nonlinear)
     if physics == "sobel_fvcg":
@@ -108,16 +113,16 @@ def _physics_loss(physics: str, x, output, sobel, weight_bound, nonlinear,
                              "only")
         loss, (pde, diri, neum) = mixed_residual_loss(
             x, output, sobel, weight_bound, None)
-        err_u = fv_cg_u_error(x, output)
-        return loss + fvcg_weight * err_u, (pde + fvcg_weight * err_u,
-                                            diri, neum)
+        err_u, err_flux = fv_cg_anchors(x, output, fvcg_iters)
+        anchor = fvcg_weight * err_u + fvcg_flux_weight * err_flux
+        return loss + anchor, (pde + anchor, diri, neum)
     if physics in ("fv", "fvcg"):
         if nonlinear is not None:
             raise ValueError(f"physics='{physics}' supports the linear law "
                              f"only")
         if physics == "fv":
             return fv_mixed_residual_loss(x, output, weight_bound)
-        return fv_cg_error_loss(x, output, weight_bound)
+        return fv_cg_error_loss(x, output, weight_bound, fvcg_iters)
     raise ValueError(f"unknown physics loss: {physics}")
 
 
@@ -126,7 +131,9 @@ def make_mixed_residual_step(model, tx, sobel: SobelFilter,
                              nonlinear: str | None = None,
                              dropout_seed: int = 0,
                              physics: str = "sobel",
-                             fvcg_weight: float = 100.0):
+                             fvcg_weight: float = 100.0,
+                             fvcg_flux_weight: float = 0.0,
+                             fvcg_iters: int | None = None):
     """Label-free physics-constrained step: batch is (K,) images only.
 
     The returned jitted step exposes the un-jitted body as ``.core`` so
@@ -141,7 +148,7 @@ def make_mixed_residual_step(model, tx, sobel: SobelFilter,
                 rngs=_dropout_rngs(state, dropout_seed))
             loss, (pde, dirichlet, neumann) = _physics_loss(
                 physics, x, output, sobel, weight_bound, nonlinear,
-                fvcg_weight)
+                fvcg_weight, fvcg_flux_weight, fvcg_iters)
             return loss, (mutated["batch_stats"], pde, dirichlet, neumann)
 
         (loss, (bstats, pde, diri, neum)), grads = jax.value_and_grad(
@@ -248,7 +255,9 @@ def _gather_epoch(idx, arrays, epoch_sharding):
 
 def make_eval_step(model, sobel: SobelFilter, weight_bound: float = 10.0,
                    nonlinear: str | None = None, physics: str = "sobel",
-                   fvcg_weight: float = 100.0):
+                   fvcg_weight: float = 100.0,
+                   fvcg_flux_weight: float = 0.0,
+                   fvcg_iters: int | None = None):
     """Test-set step: physics loss + per-sample metrics vs targets.
 
     Mirrors the reference test() (train_codec_mixed_residual.py:166-206):
@@ -262,7 +271,8 @@ def make_eval_step(model, sobel: SobelFilter, weight_bound: float = 10.0,
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False)
         loss, (pde, diri, neum) = _physics_loss(
-            physics, x, output, sobel, weight_bound, nonlinear, fvcg_weight)
+            physics, x, output, sobel, weight_bound, nonlinear, fvcg_weight,
+            fvcg_flux_weight, fvcg_iters)
         return {
             "loss": loss,
             "rel_l2": relative_l2(output, y),

@@ -35,8 +35,8 @@ from .codec_trainer import _adam_l2 as _adam
 from .schedules import one_cycle_schedule
 
 __all__ = ["GlowState", "create_glow_state", "make_reverse_kl_step",
-           "make_forward_kl_step", "make_glow_eval_step", "data_init_actnorm",
-           "glow_lr"]
+           "make_forward_kl_step", "make_glow_eval_step",
+           "make_glow_eval_epoch_fn", "data_init_actnorm", "glow_lr"]
 
 LN2 = math.log(2.0)
 
@@ -173,7 +173,6 @@ def make_glow_eval_step(model, sobel: SobelFilter, beta: float,
     SURVEY.md section 2.5).
     """
 
-    @functools.partial(jax.jit, static_argnames=())
     def step(state: GlowState, x, y, key):
         if n_samples > 0:
             samples = model.apply(_variables(state), x, n_samples, key,
@@ -198,7 +197,43 @@ def make_glow_eval_step(model, sobel: SobelFilter, beta: float,
                 "rel_l2": relative_l2(output, y),
                 "sse": squared_error_sum(output, y)}
 
-    return step
+    jitted = jax.jit(step)
+    jitted.core = step
+    return jitted
+
+
+def make_glow_eval_epoch_fn(eval_core, sharding=None):
+    """The WHOLE cGlow test set as one device program (eval mirror of
+    ``make_glow_epoch_fn``; codec analog: codec_trainer.make_eval_epoch_fn).
+
+    The round-3 driver's ``test()`` dispatched one jitted step per test
+    batch — ~8 tunnel round-trips (~30 ms RTT each) per eval epoch, every
+    epoch of a 400-epoch run.  Scanning the eval body over pre-gathered
+    batches with the loop-invariant state leaves OUT of the carry makes it
+    one dispatch.  Per-batch PRNG keys enter as a scan input, so the caller
+    reproduces the eager loop's keys exactly (equivalence-tested).
+
+    Returns jitted ``(state, idx, keys, *arrays) -> metrics`` with metrics
+    stacked per batch; the per-batch ``output`` field is dropped (plot
+    epochs fetch samples separately).
+    """
+    from .codec_trainer import _epoch_sharding, _gather_epoch
+
+    epoch_sharding = _epoch_sharding(sharding)
+
+    @jax.jit
+    def run_eval(state: GlowState, idx, keys, *arrays):
+        epoch = _gather_epoch(idx, arrays, epoch_sharding)
+
+        def body(carry, batch_and_key):
+            key = batch_and_key[-1]
+            out = eval_core(state, *batch_and_key[:-1], key)
+            return carry, {k: v for k, v in out.items() if k != "output"}
+
+        _, metrics = jax.lax.scan(body, 0, (*epoch, keys))
+        return metrics
+
+    return run_eval
 
 
 def data_init_actnorm(model, state: GlowState, y, x,

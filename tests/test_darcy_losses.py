@@ -341,3 +341,62 @@ def test_sobel_fvcg_hybrid_components():
         "sobel_fvcg", inp, o, sobel, 10.0, None, w)[0])(out_drift)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g[..., 0]).sum()) > 0
+
+
+def test_fv_cg_anchors_flux_target():
+    """The round-4 flux anchor penalizes sigma against the conservative
+    face fluxes of the CG-CORRECTED pressure u_hat + e_k: at the true
+    fields both anchors vanish; corrupting u_hat (true sigma) leaves the
+    corrected-flux anchor near zero because u_hat + e_k ~= u* regardless
+    of the prediction, while the naive anchor flux(u_hat) (= n_cg=0)
+    blows up with the corruption."""
+    import jax
+
+    from pde_surrogate_tpu.ops.darcy import fv_cg_anchors, fv_cg_u_error
+    from pde_surrogate_tpu.solvers.fd_darcy import solve_darcy_batch_fast
+    from pde_surrogate_tpu.train.codec_trainer import _physics_loss
+    from pde_surrogate_tpu.ops.filters import SobelFilter
+
+    n = 17
+    key = jax.random.key(0)
+    K = jnp.exp(jax.random.normal(key, (2, n, n)))
+    out = jnp.moveaxis(solve_darcy_batch_fast(K), 1, -1)  # (B, n, n, 3)
+    inp = K[..., None]
+
+    err_u, err_flux = fv_cg_anchors(inp, out, n_cg=2 * n)
+    assert float(err_u) < 1e-8 and float(err_flux) < 1e-6
+
+    # corrupt the pressure only; sigma stays at the truth
+    bump = 0.3 * jnp.sin(
+        jnp.pi * jnp.arange(n) / (n - 1))[None, :, None] * jnp.sin(
+        jnp.pi * jnp.arange(n) / (n - 1))[None, None, :]
+    out_drift = out.at[..., 0].add(bump)
+    err_u2, err_flux2 = fv_cg_anchors(inp, out_drift, n_cg=2 * n)
+    naive_u, naive_flux = fv_cg_anchors(inp, out_drift, n_cg=0)  # e = 0
+    # the naive target flux(u_hat) inherits the corruption...
+    assert float(naive_flux) > 1e-1
+    # ...but the CG-corrected target recovers the true fluxes
+    assert float(err_flux2) < 1e-2 * float(naive_flux)
+    # n_cg=0 makes the flux anchor exactly the uncorrected consistency
+    assert float(naive_u) == 0.0
+
+    # default n_cg=None scales with the grid: identical to explicit n
+    np.testing.assert_allclose(float(fv_cg_u_error(inp, out_drift)),
+                               float(fv_cg_u_error(inp, out_drift, n_cg=n)),
+                               rtol=1e-7)
+
+    # hybrid dispatch: flux weight adds fw * err_flux on top of the
+    # round-3 hybrid (fw=0 reproduces it bit-for-bit)
+    sobel = SobelFilter(n)
+    l0, _ = _physics_loss("sobel_fvcg", inp, out_drift, sobel, 10.0, None,
+                          100.0, 0.0, 2 * n)
+    lf, _ = _physics_loss("sobel_fvcg", inp, out_drift, sobel, 10.0, None,
+                          100.0, 7.0, 2 * n)
+    np.testing.assert_allclose(float(lf), float(l0) + 7.0 * float(err_flux2),
+                               rtol=1e-5)
+    # gradient flows through the flux anchor into sigma
+    g = jax.grad(lambda o: _physics_loss(
+        "sobel_fvcg", inp, o, sobel, 10.0, None, 0.0, 1.0, 2 * n)[0])(
+        out_drift)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g[..., 1:]).sum()) > 0

@@ -219,3 +219,79 @@ def test_glow_scan_epoch_matches_eager():
     # gradient (Conv2dZeros-style zero-init heads) get Adam updates of
     # +-lr * sign(noise), so executable-level reassociation flips signs
     # and leaves diverge by O(lr) with no effect on the loss.
+
+
+def test_glow_eval_epoch_matches_eager():
+    """make_glow_eval_epoch_fn (one device program per eval epoch) must
+    reproduce the eager per-batch eval loop: per-batch keys enter as a scan
+    input built exactly like the driver's fold_in counters."""
+    from pde_surrogate_tpu.train.glow_trainer import make_glow_eval_epoch_fn
+
+    model, state, tx, x, y, n = _setup(bs=8)
+    ev = make_glow_eval_step(model, SobelFilter(n), 150.0, 50.0, 3 * n * n)
+    nb = 3
+    xs = jnp.asarray(sample_kle(8 * nb, n, 16, rng=2)[..., None])
+    ys = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (8 * nb, n, n, 3)).astype(np.float32) * 0.1)
+    idx = jnp.arange(8 * nb, dtype=jnp.int32).reshape(nb, 8)
+    base = jax.random.key(7)
+    keys = jax.vmap(lambda d: jax.random.fold_in(base, d))(jnp.arange(nb))
+
+    eager = [ev(state, xs[np.asarray(idx[i])], ys[np.asarray(idx[i])],
+                jax.random.fold_in(base, i)) for i in range(nb)]
+
+    epoch_fn = make_glow_eval_epoch_fn(ev.core)
+    ms = epoch_fn(state, idx, keys, xs, ys)
+    assert "output" not in ms
+    for k in ("loss", "neg_entropy"):
+        np.testing.assert_allclose(
+            np.asarray(ms[k]),
+            np.asarray([float(e[k]) for e in eager], np.float32), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ms["rel_l2"]),
+        np.stack([np.asarray(e["rel_l2"]) for e in eager]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ms["sse"]),
+        np.stack([np.asarray(e["sse"]) for e in eager]), rtol=1e-4)
+
+    # the predictive-mean variant scans too
+    ev4 = make_glow_eval_step(model, SobelFilter(n), 150.0, 50.0,
+                              3 * n * n, n_samples=4)
+    ms4 = make_glow_eval_epoch_fn(ev4.core)(state, idx, keys, xs, ys)
+    e4 = ev4(state, xs[np.asarray(idx[0])], ys[np.asarray(idx[0])],
+             jax.random.fold_in(base, 0))
+    np.testing.assert_allclose(float(ms4["loss"][0]), float(e4["loss"]),
+                               rtol=1e-5)
+
+
+def test_glow_data_parallel_step_on_fake_mesh():
+    """Reverse-KL DP == single-device (the codec analog is
+    tests/test_training.py::test_data_parallel_step_on_fake_mesh): the same
+    jitted step runs SPMD over the 8-device CPU mesh with the batch sharded
+    and state replicated.  A sharding regression in the flow's eps/key
+    handling (per-device keys, split sampling) would break the loss match.
+    Losses are compared across 3 steps — step k's loss is computed on step
+    k-1's params, pinning the applied updates (direct leaf comparison is
+    meaningless for ~zero-grad Conv2dZeros heads, see the scan test)."""
+    from pde_surrogate_tpu.parallel.mesh import (batch_sharding, data_mesh,
+                                                 replicate)
+
+    model, state, tx, x, y, n = _setup(bs=8)
+    step = make_reverse_kl_step(model, tx, SobelFilter(n), beta=150.0,
+                                weight_bound=50.0, n_out_pixels=3 * n * n)
+    s1 = state
+    single = []
+    for _ in range(3):
+        s1, m = step(s1, x)
+        single.append(float(m["loss"]))
+
+    mesh = data_mesh(8)
+    model2, state2, tx2, _, _, _ = _setup(bs=8)
+    state2 = replicate(state2, mesh)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    dp = []
+    for _ in range(3):
+        state2, m = step(state2, xs)
+        dp.append(float(m["loss"]))
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(single), rtol=2e-5)
+    assert int(state2.step) == 3
