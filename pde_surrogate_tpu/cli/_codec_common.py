@@ -112,6 +112,15 @@ def resolve_dataset_files(args, need_train_output: bool = False):
                             "channel_ng64_n512_test")
         ntrain_total, ntest_total = 4096, 512
         kle, family = 0, "channelized"
+    elif args.data == "warped_grf":
+        # reference ships one warped_gp_ng64_n1000.hdf5 (README.md:22-34);
+        # train/test splits follow the channelized naming convention
+        train = dataset_path(args.data_dir, args.imsize,
+                             "warped_gp_ng64_n4096_train")
+        test = dataset_path(args.data_dir, args.imsize,
+                            "warped_gp_ng64_n512_test")
+        ntrain_total, ntest_total = 4096, 512
+        kle, family = 0, "warped_grf"
     else:
         raise ValueError(f"unknown data option: {args.data}")
     assert args.ntrain <= ntrain_total and args.ntest <= ntest_total

@@ -25,7 +25,7 @@ class Parser(BaseParser):
                           choices=["nearest", "bilinear"])
         self.add_argument("--data-dir", type=str, default="./datasets")
         self.add_argument("--data", type=str, default="grf_kle512",
-                          choices=["grf_kle512", "channelized"])
+                          choices=["grf_kle512", "channelized", "warped_grf"])
         self.add_argument("--kle", type=int, default=512,
                           help="KLE truncation for the grf family")
         self.add_argument("--ntrain", type=int, default=4096)

@@ -33,7 +33,7 @@ class Parser(BaseParser):
         # data
         self.add_argument("--data-dir", type=str, default="./datasets")
         self.add_argument("--data", type=str, default="grf_kle512",
-                          choices=["grf_kle512", "channelized"])
+                          choices=["grf_kle512", "channelized", "warped_grf"])
         self.add_argument("--kle", type=int, default=512,
                           help="KLE truncation for the grf family "
                                "(e.g. 100/128 at imsize 32)")
