@@ -191,6 +191,109 @@ class DenseLayerShared(nn.Module):
         return y
 
 
+class _SharedGroupwiseNorm(nn.Module):
+    """``_SharedConcatNorm`` that never materializes the concat: normalizes
+    each feature group in place with the matching slice of the layer's
+    scale/bias (and of the batch/running moments) and returns the group
+    list.  Identical parameter/variable tree to ``_SharedConcatNorm`` /
+    ``nn.BatchNorm`` — checkpoints are interchangeable across all three
+    implementations.
+    """
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, groups, mean, var, train: bool):
+        c = sum(g.shape[-1] for g in groups)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (c,))
+        if not train:
+            mean, var = ra_mean.value, ra_var.value
+        elif not self.is_initializing():
+            ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+            ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        out, start = [], 0
+        for g in groups:
+            end = start + g.shape[-1]
+            mul = jax.lax.rsqrt(var[start:end] + 1e-5) * scale[start:end]
+            y = (g.astype(jnp.float32) - mean[start:end]) * mul \
+                + bias[start:end]
+            out_dtype = (self.dtype if self.dtype is not None
+                         else jnp.promote_types(g.dtype, jnp.float32))
+            out.append(y.astype(out_dtype))
+            start = end
+        return out
+
+
+class _GroupSumConv(nn.Module):
+    """3x3 conv over a channel-concatenated group list WITHOUT the concat:
+    ``conv(concat(groups), W) == sum_g conv(g, W[:, :, slice_g, :])`` —
+    each group is read from HBM exactly once and the concatenated tensor
+    never exists.  Declares the kernel with ``nn.Conv``'s tree (one
+    ``kernel`` of the full fan-in, so init variance and checkpoints match
+    the concat implementation bit-for-bit).
+    """
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, groups):
+        total_in = sum(g.shape[-1] for g in groups)
+        kernel = self.param("kernel", torch_conv_init,
+                            (3, 3, total_in, self.features), jnp.float32)
+        out, start = None, 0
+        for g in groups:
+            end = start + g.shape[-1]
+            k = kernel[:, :, start:end, :]
+            if self.dtype is not None:
+                g, k = g.astype(self.dtype), k.astype(self.dtype)
+            # accumulate partial sums in f32: one fused conv rounds its
+            # (f32-accumulated) GEMM to the compute dtype exactly once —
+            # bf16 partial-sum adds here would round L times instead
+            o = jax.lax.conv_general_dilated(
+                g, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            out = o if out is None else out + o
+            start = end
+        out_dtype = (self.dtype if self.dtype is not None
+                     else jnp.promote_types(groups[0].dtype, jnp.float32))
+        return out.astype(out_dtype)
+
+
+class DenseLayerConcatFree(nn.Module):
+    """``DenseLayerShared`` with the concat eliminated (round-4 attack on
+    the 23.7% concatenate/copy device-time share of the trace,
+    docs/RESULTS.md): the norm scales each group in place and the conv
+    consumes the group list as a sum of sliced-kernel convs.  Same
+    parameter/variable tree; float-reassociation-level agreement (the sum
+    order over groups differs from one fused conv).
+    """
+    growth_rate: int
+    drop_rate: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, groups, means, variances, train: bool = True):
+        if train:
+            mean = means[0] if len(means) == 1 else jnp.concatenate(means)
+            var = (variances[0] if len(variances) == 1
+                   else jnp.concatenate(variances))
+        else:
+            mean = var = None
+        ys = _SharedGroupwiseNorm(dtype=self.dtype, name="norm1")(
+            groups, mean, var, train)
+        ys = [nn.relu(y) for y in ys]
+        y = _GroupSumConv(self.growth_rate, dtype=self.dtype,
+                          name="conv1")(ys)
+        if self.drop_rate > 0:
+            y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
+        return y
+
+
 class DenseLayer(nn.Module):
     """BN -> ReLU -> 3x3 conv (+ optional 1x1 bottleneck), concat input.
 
@@ -241,6 +344,7 @@ class DenseBlock(nn.Module):
     bottleneck: bool = False
     dtype: Any = None
     shared_stats: bool = False
+    concat_free: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -257,16 +361,20 @@ class DenseBlock(nn.Module):
         are computed ONCE when the group is produced and reused by every later
         layer's norm — eliminating the per-layer full-prefix stats re-read
         (the O(L^2) HBM term of the DenseNet topology) with the same math.
-        Variable tree identical to the default path (checkpoints
-        interchangeable); bottleneck layers are not supported."""
+        With ``concat_free`` the per-layer prefix concats are eliminated too
+        (DenseLayerConcatFree): only the block's final output is ever
+        concatenated.  Variable tree identical to the default path
+        (checkpoints interchangeable); bottleneck layers are not supported."""
         if self.bottleneck:
             raise ValueError("shared_stats does not support bottleneck layers")
+        layer_cls = DenseLayerConcatFree if self.concat_free \
+            else DenseLayerShared
         groups, means, variances = [x], [None], [None]
         if train:
             means[0], variances[0] = _batch_moments(x)
         for i in range(self.num_layers):
-            g = DenseLayerShared(self.growth_rate, self.drop_rate, self.dtype,
-                                 name=f"denselayer{i + 1}")(
+            g = layer_cls(self.growth_rate, self.drop_rate, self.dtype,
+                          name=f"denselayer{i + 1}")(
                 groups, means, variances, train)
             groups.append(g)
             if train:
@@ -386,6 +494,9 @@ class DenseED(nn.Module):
     # shared per-group BN statistics inside dense blocks (same math + variable
     # tree; cuts the O(L^2) per-layer stats re-reduction — see DenseBlock)
     shared_stats: bool = False
+    # with shared_stats: also eliminate the per-layer prefix concats
+    # (DenseLayerConcatFree — the round-4 attack on the concat/copy share)
+    concat_free: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -407,6 +518,7 @@ class DenseED(nn.Module):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
                            self.bn_size, self.bottleneck, self.dtype,
                            shared_stats=self.shared_stats,
+                           concat_free=self.concat_free,
                            name=f"encblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             x = Transition(num_features // 2, down=True,
@@ -417,6 +529,7 @@ class DenseED(nn.Module):
             x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
                            self.bn_size, self.bottleneck, self.dtype,
                            shared_stats=self.shared_stats,
+                           concat_free=self.concat_free,
                            name=f"decblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             if i < len(dec_blocks) - 1:

@@ -169,6 +169,7 @@ class TestSharedStats:
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                    rtol=2e-5, atol=2e-5)
 
+
     def test_gradients_match(self):
         ref, shared = self._pair()
         x = jnp.asarray(np.random.default_rng(2).normal(
@@ -207,3 +208,19 @@ class TestSharedStats:
         with pytest.raises(ValueError, match="bottleneck"):
             jax.eval_shape(lambda k, x: model.init(k, x, train=False),
                            jax.random.key(0), x)
+
+
+class TestConcatFree(TestSharedStats):
+    """The concat-free dense block (DenseED(shared_stats=True,
+    concat_free=True)): groupwise norm slices + sum-of-sliced-kernel convs
+    — the concatenated prefix tensor never materializes (round-4 attack on
+    the 23.7% concatenate/copy trace share).  Inherits the full
+    shared-stats equivalence suite (variable tree, train/eval forwards,
+    batch stats, gradients, bf16) run against the concat-free model.
+    """
+
+    def _pair(self, dtype=None):
+        kw = dict(in_channels=1, out_channels=3, imsize=32, blocks=[3, 4, 3],
+                  growth_rate=8, init_features=16, dtype=dtype)
+        return DenseED(**kw), DenseED(**kw, shared_stats=True,
+                                      concat_free=True)

@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-4 campaign B (waits for campaign A): perf probes + follow-ups.
+#  1. concat-free dense block A/B (sharedstats_probe now carries cfree
+#     rows) — the timeboxed attack on the 23.7% concat/copy trace share.
+#  2. scanned cGlow eval-epoch timing (item 7's measured wall delta).
+#  3. bench.py preview (the headline must be proven before the round-end
+#     driver run, incl. any concat-free flip).
+# Launch:
+#   nohup bash tools/run_campaign_r4b.sh > logs/campaign_r4b.log 2>&1 &
+#   echo $! > /tmp/r4b.pid
+set -x
+cd "$(dirname "$0")/.." || exit 1
+PY=python
+
+while ! grep -q CAMPAIGN_R4A_DONE logs/campaign_r4a.log 2>/dev/null; do
+  sleep 120
+done
+
+bash tools/tpu_gate.sh
+timeout 3600 $PY tools/sharedstats_probe.py > logs/cfree_probe_r4.log 2>&1
+
+bash tools/tpu_gate.sh
+timeout 3600 $PY tools/glow_eval_probe.py > logs/glow_eval_probe_r4.log 2>&1
+
+bash tools/tpu_gate.sh
+timeout 3600 $PY bench.py > logs/bench_r4_preview.json 2> logs/bench_r4_preview.log
+
+echo CAMPAIGN_R4B_DONE

@@ -29,11 +29,13 @@ from pde_surrogate_tpu.utils.config import enable_compilation_cache
 enable_compilation_cache()
 
 
-def timed_step(shared: bool, batch: int, dtype, n_steps: int = 100):
+def timed_step(shared: bool, batch: int, dtype, n_steps: int = 100,
+               concat_free: bool = False):
     imsize = 64
     x = jnp.asarray(sample_kle(batch, imsize, 512, rng=0)[..., None])
     model = DenseED(1, 3, imsize=imsize, blocks=[6, 8, 6], growth_rate=16,
-                    init_features=48, dtype=dtype, shared_stats=shared)
+                    init_features=48, dtype=dtype, shared_stats=shared,
+                    concat_free=concat_free)
     state, tx = create_state(model, jax.random.key(0), x, lr_max=1e-3,
                              total_steps=100_000)
     step = make_mixed_residual_step(model, tx, SobelFilter(imsize), 10.0)
@@ -87,13 +89,15 @@ def main():
     print(f"[probe] devices: {jax.devices()}", flush=True)
     equivalence_check()
     rows = []
-    for label, shared, batch, dtype in [
-            ("default f32/bs32", False, 32, None),
-            ("shared  f32/bs32", True, 32, None),
-            ("default bf16/bs128", False, 128, jnp.bfloat16),
-            ("shared  bf16/bs128", True, 128, jnp.bfloat16)]:
+    for label, shared, batch, dtype, cfree in [
+            ("default f32/bs32", False, 32, None, False),
+            ("shared  f32/bs32", True, 32, None, False),
+            ("cfree   f32/bs32", True, 32, None, True),
+            ("default bf16/bs128", False, 128, jnp.bfloat16, False),
+            ("shared  bf16/bs128", True, 128, jnp.bfloat16, False),
+            ("cfree   bf16/bs128", True, 128, jnp.bfloat16, True)]:
         print(f"[probe] {label} ...", flush=True)
-        dt, loss = timed_step(shared, batch, dtype)
+        dt, loss = timed_step(shared, batch, dtype, concat_free=cfree)
         rows.append((label, dt, batch / dt, loss))
         print(f"  {dt * 1e3:.2f} ms/step = {batch / dt:.0f} samples/sec "
               f"(loss {loss:.4f})", flush=True)

@@ -1,0 +1,299 @@
+"""Full UQ-suite comparison: reference torch cGlow vs this framework, on
+IDENTICAL locally-trained reference weights (VERDICT r3 missing-item 1).
+
+The container has no network/DNS (``curl https://docs.google.com`` ->
+"Could not resolve host"; logged in docs/RESULTS.md), so the reference's
+*published* Google-Drive checkpoint tarballs
+(/root/reference/scripts/download_checkpoints.sh:1-27) are unreachable.
+Per the verdict, the substitute is stronger than forward parity: train the
+reference driver itself (torch CPU) on this repo's datasets, then run
+
+  (a) the reference's own ``UQ_CondGlow`` suite (utils/uq.py:14-278), and
+  (b) this framework's ``post_cglow`` on the ``import_torch_ckpt --model
+      glow`` conversion of the same .pth,
+
+and diff every numeric artifact both sides persist: nrmse_test.txt,
+r2_test.txt, log_stats.txt, uncertainty_quality/reliability_diagram.txt,
+out_stats/out_stats.mat.  Agreement is to MC-sampling tolerance (both
+sides draw their own flow samples), NOT float tolerance — the weights and
+the metric formulas are what is being compared.
+
+Run (phases are resumable):
+  python tools/torch_cglow_uq_probe.py            # all phases
+  python tools/torch_cglow_uq_probe.py --phase train|torch-uq|jax-uq|compare
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+WORK = "/tmp/torch_uq_probe"
+KLE, IMSIZE = 100, 32
+NTRAIN, NTEST, NMC = 128, 32, 160
+EPOCHS, BS, N_SAMPLES, VAR_SAMPLES = 10, 32, 8, 4
+JAX_RUN_DIR = os.path.join(WORK, "imported_glow")
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--phase", type=str, default="all",
+                    choices=["all", "train", "torch-uq", "jax-uq", "compare"])
+args = parser.parse_args()
+
+
+def _torch_run_dir():
+    base = os.path.join(WORK, "experiments", "cglow", "reverse_kld")
+    if not os.path.isdir(base):
+        return None
+    runs = [os.path.join(base, d) for d in os.listdir(base)
+            if os.path.exists(os.path.join(
+                base, d, "checkpoints", f"model_epoch{EPOCHS}.pth"))]
+    return runs[0] if runs else None
+
+
+def ensure_mc_dataset():
+    """The MC split both UQ suites read (generated with solver labels)."""
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from pde_surrogate_tpu.cli._codec_common import ensure_dataset
+    from pde_surrogate_tpu.data.hdf5 import dataset_path
+    mc = dataset_path(os.path.join(REPO, "datasets"), IMSIZE,
+                      f"kle{KLE}_lhs10000_monte_carlo")
+    ensure_dataset(mc, "grf", NMC, IMSIZE, KLE, seed=40_000 + KLE,
+                   with_output=True)
+    return mc
+
+
+def _patch_reference_for_torch2():
+    """The reference targets torch 1.x; under torch 2.13 the in-place
+    ``log_stddev.clamp_`` on a ``chunk`` view (glow_msc.py:438) raises
+    "Output of Split is a view ... modified inplace" once autograd tracks
+    it.  Out-of-place clamp is the same math and the same gradient; the
+    patch changes nothing else (the .data.clamp_ in ``sample`` then acts
+    on a fresh tensor, not a view)."""
+    import math
+    import models.glow_msc as ref_glow
+
+    def patched_init(self, mean, log_stddev):
+        self.mean = mean
+        self.log_stddev = log_stddev.clamp(min=-10., max=math.log(5.))
+
+    ref_glow.GaussianDiag.__init__ = patched_init
+
+    # matplotlib >= 3.8 removed CbarAxes.toggle_label (reference
+    # utils/plot.py:336,363,433 calls it); restore it as a no-op shim so
+    # the legacy plotting code runs unmodified.
+    from matplotlib.axes import Axes
+    if not hasattr(Axes, "toggle_label"):
+        Axes.toggle_label = lambda self, v: None
+
+    # torch 2.x removed `1 - bool_tensor` (utils/uq.py:253 `normal =
+    # (1 - exception)`); re-bind test_metric with the mask inverted via
+    # logical_not — verbatim reference logic (utils/uq.py:244-278)
+    # otherwise.
+    import numpy as np
+    import torch
+    from utils import uq as ref_uq
+    from utils.misc import to_numpy
+
+    def patched_test_metric(self, handle_nan=True):
+        relative_l2, err2 = [], []
+        num_nan_inf = 0
+        for batch_idx, (input, target) in enumerate(self.test_loader):
+            input = input.to(self.device)
+            target = target.to(self.device)
+            pred_mean, pred_var = self.model.predict(
+                input, n_samples=self.n_samples,
+                temperature=self.temperature)
+            if handle_nan:
+                exception = (torch.isnan(pred_mean)
+                             | torch.isinf(pred_mean))
+                exception = exception.sum((1, 2, 3)).gt(0)
+                normal_idx = torch.arange(
+                    len(exception), device=self.device)[~exception]
+                pred_mean = pred_mean.index_select(0, normal_idx)
+                target = target.index_select(0, normal_idx)
+                num_nan_inf += int(exception.sum())
+            err2_sum = torch.sum((pred_mean - target) ** 2, [-1, -2])
+            relative_l2.append(
+                torch.sqrt(err2_sum / (target ** 2).sum([-1, -2])))
+            err2.append(err2_sum)
+        relative_l2 = to_numpy(torch.cat(relative_l2, 0).mean(0))
+        r2_score = 1 - to_numpy(torch.cat(err2, 0).sum(0)) \
+            / self.y_test_variation
+        print(relative_l2)
+        print(r2_score)
+        np.savetxt(self.post_dir + '/nrmse_test.txt', relative_l2)
+        np.savetxt(self.post_dir + '/r2_test.txt', r2_score)
+        if handle_nan:
+            n = len(self.test_loader.dataset)
+            abnormal_rate = num_nan_inf / n
+            print(f'num_nan_inf: {num_nan_inf}')
+            print(f'abnormal rate: {abnormal_rate:.6f}')
+            np.savetxt(self.post_dir + '/log_stats.txt',
+                       [num_nan_inf, n, abnormal_rate])
+
+    ref_uq.UQ_CondGlow.test_metric = patched_test_metric
+    return ref_glow
+
+
+def phase_train():
+    """Train the reference driver (torch CPU) on this repo's datasets.
+
+    Runs in-process (runpy) so the torch-2.x view-clamp patch above can be
+    applied to the module the driver imports; /root/reference stays
+    untouched (read-only)."""
+    import runpy
+
+    import matplotlib
+    matplotlib.use("agg")
+    os.makedirs(WORK, exist_ok=True)
+    os.chdir(WORK)
+    sys.path.insert(0, REF)
+    _patch_reference_for_torch2()
+    sys.argv = ["train_cglow_reverse_kl.py",
+                "--data-dir", os.path.join(REPO, "datasets"),
+                "--kle", str(KLE), "--imsize", str(IMSIZE),
+                "--ntrain", str(NTRAIN), "--ntest", str(NTEST),
+                "--batch-size", str(BS), "--test-batch-size", str(BS),
+                "--epochs", str(EPOCHS), "--ckpt-freq", str(EPOCHS),
+                "--plot-freq", "1000000", "--cuda", "7"]
+    print("[train]", " ".join(sys.argv))
+    runpy.run_path(os.path.join(REF, "train_cglow_reverse_kl.py"),
+                   run_name="__main__")
+    print("[train] run dir:", _torch_run_dir())
+
+
+def phase_torch_uq():
+    """The reference's own UQ suite on the torch checkpoint."""
+    mc_file = ensure_mc_dataset()
+    os.chdir(WORK)
+    sys.path.insert(0, REF)
+    import matplotlib
+    matplotlib.use("agg")
+    import torch
+    _patch_reference_for_torch2()
+    from models.glow_msc import MultiScaleCondGlow          # reference
+    from utils.load import load_data, load_args             # reference
+    from utils.uq import UQ_CondGlow                        # reference
+
+    run_dir = _torch_run_dir()
+    ref_args = load_args(run_dir)
+    ckpt = os.path.join(run_dir, "checkpoints",
+                        f"model_epoch{EPOCHS}.pth")
+    device = torch.device("cpu")
+    model = MultiScaleCondGlow(
+        img_size=IMSIZE, x_channels=1, y_channels=3,
+        enc_blocks=ref_args.enc_blocks, flow_blocks=ref_args.flow_blocks,
+        LUdecompose=ref_args.LU_decompose,
+        squeeze_factor=2, data_init=ref_args.data_init).to(device)
+    state = torch.load(ckpt, map_location=device, weights_only=False)
+    model.load_state_dict(state["model_state_dict"])
+    model.eval()
+
+    test_file = os.path.join(REPO, "datasets", f"{IMSIZE}x{IMSIZE}",
+                             f"kle{KLE}_lhs1000_val.hdf5")
+    mc_loader, _ = load_data(mc_file, NMC, BS, only_input=False,
+                             return_stats=False)
+    test_loader, stats = load_data(test_file, NTEST, BS, only_input=False,
+                                   return_stats=True)
+
+    post_dir = os.path.join(WORK, "torch_post")
+    os.makedirs(post_dir, exist_ok=True)
+    shim = argparse.Namespace(ntrain=NTRAIN, plot_fn="imshow", epochs=EPOCHS,
+                              device=device, post_dir=post_dir, imsize=IMSIZE)
+    torch.manual_seed(0)
+    uq = UQ_CondGlow(model, shim, mc_loader, test_loader,
+                     stats["y_variation"], n_samples=N_SAMPLES,
+                     temperature=1.0)
+    with torch.no_grad():
+        uq.test_metric(handle_nan=True)
+        uq.plot_reliability_diagram()
+        uq.propagate_uncertainty(var_samples=VAR_SAMPLES)
+    print("[torch-uq] artifacts in", post_dir)
+
+
+def phase_jax_uq():
+    """import_torch_ckpt --model glow + this framework's post_cglow."""
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    ensure_mc_dataset()
+    run_dir = _torch_run_dir()
+    ckpt = os.path.join(run_dir, "checkpoints", f"model_epoch{EPOCHS}.pth")
+    ref_args = json.load(open(os.path.join(run_dir, "args.txt")))
+
+    from pde_surrogate_tpu.cli.import_torch_ckpt import import_glow_ckpt
+    import_glow_ckpt(ckpt, EPOCHS, JAX_RUN_DIR, imsize=IMSIZE,
+                     enc_blocks=ref_args["enc_blocks"],
+                     flow_blocks=ref_args["flow_blocks"],
+                     LU_decompose=ref_args["LU_decompose"], kle=KLE,
+                     ntrain=NTRAIN,
+                     extra_args={"data_dir": os.path.join(REPO, "datasets"),
+                                 "epochs": EPOCHS})
+    from pde_surrogate_tpu.cli.post_cglow import main as post_main
+    post_main(["--run-dir", JAX_RUN_DIR, "--ckpt-epoch", str(EPOCHS),
+               "--n-samples", str(N_SAMPLES), "--n-monte-carlo", str(NMC),
+               "--ntest", str(NTEST), "--batch-size", str(BS),
+               "--var-samples", str(VAR_SAMPLES), "--n-pred", "2",
+               "--num-loc", "2"])
+    print("[jax-uq] artifacts in",
+          os.path.join(JAX_RUN_DIR, f"post_proc_epoch{EPOCHS}"))
+
+
+def phase_compare():
+    import numpy as np
+    import scipy.io
+    tdir = os.path.join(WORK, "torch_post")
+    jdir = os.path.join(JAX_RUN_DIR, f"post_proc_epoch{EPOCHS}")
+
+    def row(name, a, b):
+        a, b = np.atleast_1d(a).ravel(), np.atleast_1d(b).ravel()
+        d = np.abs(a - b).max()
+        print(f"  {name:<28s} torch={np.array2string(a, precision=4)} "
+              f"jax={np.array2string(b, precision=4)} |max delta|={d:.4f}")
+        return d
+
+    print("== UQ artifact comparison (same .pth through both stacks) ==")
+    deltas = {}
+    for f in ("nrmse_test.txt", "r2_test.txt", "log_stats.txt"):
+        a = np.loadtxt(os.path.join(tdir, f))
+        b = np.loadtxt(os.path.join(jdir, f))
+        deltas[f] = row(f, a, b)
+    a = np.loadtxt(os.path.join(tdir, "uncertainty_quality",
+                                "reliability_diagram.txt"))
+    b = np.loadtxt(os.path.join(jdir, "uncertainty_quality",
+                                "reliability_diagram.txt"))
+    deltas["reliability"] = row("reliability coverage", a[:, 1:], b[:, 1:])
+    tm = scipy.io.loadmat(os.path.join(tdir, "out_stats", "out_stats.mat"))
+    jm = scipy.io.loadmat(os.path.join(jdir, "out_stats", "out_stats.mat"))
+    for k in ("y_pred_EE", "y_pred_EV"):
+        ta, ja = tm[k], jm[k]
+        if ta.shape != ja.shape:                  # NCHW vs NHWC
+            ja = np.moveaxis(ja, -1, 0)
+        deltas[k] = row(f"propagate {k} (field mean)",
+                        ta.mean(axis=(-1, -2)), ja.mean(axis=(-1, -2)))
+    print(json.dumps({k: float(v) for k, v in deltas.items()}))
+
+
+if args.phase in ("all", "train"):
+    phase_train()
+if args.phase in ("all", "torch-uq"):
+    phase_torch_uq()
+if args.phase in ("all", "jax-uq"):
+    # run in a subprocess when chained: phase_torch_uq imported the
+    # reference's modules under the same top-level names (models/utils)
+    if args.phase == "all":
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--phase", "jax-uq"], cwd=REPO, check=True)
+    else:
+        phase_jax_uq()
+if args.phase in ("all", "compare"):
+    if args.phase == "all":
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--phase", "compare"], cwd=REPO, check=True)
+    else:
+        phase_compare()
