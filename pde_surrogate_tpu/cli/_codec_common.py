@@ -150,7 +150,8 @@ def run_codec_training(args, loss_kind: str):
                     init_features=args.init_features,
                     drop_rate=args.drop_rate, out_activation=None,
                     upsample=args.upsample, dtype=dtype,
-                    shared_stats=getattr(args, "shared_stats", False))
+                    shared_stats=getattr(args, "shared_stats", False),
+                    concat_free=getattr(args, "concat_free", False))
 
     train_file, test_file = resolve_dataset_files(
         args, need_train_output=(loss_kind == "mle"))

@@ -83,6 +83,11 @@ class Parser(BaseParser):
                                "instead of re-reducing the concat prefix at "
                                "every layer (same math + checkpoint tree; "
                                "models/codec.DenseBlock shared_stats)")
+        self.add_argument("--concat-free", action="store_true", default=False,
+                          help="with --shared-stats: eliminate the per-layer "
+                               "prefix concats too (sum-of-sliced-kernel "
+                               "convs; same math + checkpoint tree; "
+                               "models/codec.DenseLayerConcatFree)")
         self.add_argument("--batch-size", type=int, default=32)
         self.add_argument("--test-batch-size", type=int, default=64)
         self.add_argument("--seed", type=int, default=1)
@@ -126,6 +131,11 @@ class Parser(BaseParser):
             hparams += f"_{args.upsample}"
         if args.dtype != "f32":
             hparams += f"_{args.dtype}"
+        # concat_free runs on the shared-stats path (DenseBlock._call_shared)
+        if args.concat_free:
+            args.shared_stats = True
+        if args.shared_stats:
+            hparams += "_cf" if args.concat_free else "_ss"
         assert args.ntrain % args.batch_size == 0 and \
             args.ntest % args.test_batch_size == 0
         return self.finalize(args, hparams)

@@ -89,6 +89,21 @@ def _patch_reference_for_torch2():
     from matplotlib.axes import Axes
     if not hasattr(Axes, "toggle_label"):
         Axes.toggle_label = lambda self, v: None
+    # matplotlib >= 3.10 removed ContourSet.collections (utils/uq.py:109
+    # iterates it only to tweak edge cosmetics); an empty list skips that.
+    from matplotlib.contour import ContourSet
+    if not hasattr(ContourSet, "collections"):
+        ContourSet.collections = property(lambda self: [])
+    # the reference's propagate plot has a literal typo (utils/uq.py:121
+    # ``savefig(..., di=300)``) that old matplotlib swallowed; drop it.
+    import matplotlib.pyplot as plt
+    _orig_savefig = plt.savefig
+
+    def _savefig(*a, **kw):
+        kw.pop("di", None)
+        return _orig_savefig(*a, **kw)
+
+    plt.savefig = _savefig
 
     # torch 2.x removed `1 - bool_tensor` (utils/uq.py:253 `normal =
     # (1 - exception)`); re-bind test_metric with the mask inverted via
