@@ -35,16 +35,20 @@ __all__ = ["convert_codec_state_dict", "convert_glow_state_dict",
 def load_state_dict(pth_path: str) -> dict:
     """Load a torch ``.pth`` into a flat {name: np.ndarray} dict.
 
-    Accepts both bare ``state_dict`` saves (codec drivers,
+    Accepts bare ``state_dict`` saves (codec drivers,
     train_codec_mixed_residual.py:249-250) and full training dicts with a
-    ``model`` entry (the cGlow driver, train_cglow_reverse_kl.py:281-289).
+    ``model_state_dict`` entry — the cGlow driver's actual key
+    (train_cglow_reverse_kl.py:282-286) — or a ``model`` entry.
     """
     import torch
 
     obj = torch.load(pth_path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and "model" in obj and not any(
+    if isinstance(obj, dict) and not any(
             hasattr(v, "numpy") for v in obj.values()):
-        obj = obj["model"]
+        for key in ("model_state_dict", "model"):
+            if key in obj:
+                obj = obj[key]
+                break
     return {k: np.asarray(v.detach().numpy()) for k, v in obj.items()}
 
 

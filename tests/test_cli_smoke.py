@@ -257,6 +257,55 @@ def test_train_cglow_init_from_cli(tmp_path):
     assert logger2["loss_train"][0] < 3 * logger["loss_train"][-1] + 100
 
 
+def test_train_cglow_init_from_resolves_squeeze_order(tmp_path):
+    """--init-from a run dir whose args.txt records
+    squeeze_order='reference' (import_torch_ckpt --model glow does) must
+    build the trainer's model with that order — the param trees of both
+    orders are identical, so the round-3 trainer silently loaded imported
+    weights into the wrong channel encoding (advisor r3, medium)."""
+    import json
+    import os
+
+    import pytest
+
+    from pde_surrogate_tpu.cli.train_cglow_reverse_kl import Parser
+
+    src = tmp_path / "imported_run"
+    src.mkdir()
+    (src / "args.txt").write_text(json.dumps({"squeeze_order": "reference"}))
+    argv = _common(tmp_path, ["--kle", "64", "--ntrain", "16", "--ntest",
+                              "8", "--imsize", "16", "--enc-blocks", "2,2",
+                              "--flow-blocks", "2,2", "--batch-size", "8",
+                              "--test-batch-size", "8",
+                              "--init-from", str(src)])
+    args = Parser().parse(argv)
+    assert args.squeeze_order == "reference"
+    # and it is re-persisted into the new run dir for post_cglow
+    recorded = json.loads(
+        open(os.path.join(args.run_dir, "args.txt")).read())
+    assert recorded["squeeze_order"] == "reference"
+    # an explicit conflicting flag is an error, not silent corruption
+    with pytest.raises(ValueError, match="squeeze"):
+        Parser().parse(argv + ["--squeeze-order", "subpixel"])
+    # without --init-from the default stands
+    args2 = Parser().parse(_common(tmp_path, [
+        "--kle", "64", "--ntrain", "16", "--ntest", "8", "--imsize", "16",
+        "--enc-blocks", "2,2", "--flow-blocks", "2,2", "--batch-size", "8",
+        "--test-batch-size", "8"]))
+    assert args2.squeeze_order == "subpixel"
+
+
+def test_train_codec_warped_grf_cli(tmp_path):
+    """--data warped_grf end-to-end: dataset generation (warped-GP inputs +
+    FV-solved labels) through the mixed-residual loop."""
+    from pde_surrogate_tpu.cli.train_codec_mixed_residual import main
+    state, logger = main(_common(tmp_path, [
+        "--data", "warped_grf", "--ntrain", "16", "--ntest", "8",
+        "--batch-size", "8", "--test-batch-size", "8", "--imsize", "16",
+        "--epochs", "1"]))
+    assert np.isfinite(logger["loss_train"]).all()
+
+
 def test_predict_cglow_cli(tmp_path):
     """Flow serving surface: train tiny cGlow (nonzero weight decay guards
     the restore-template opt_state structure), then batch-predict the

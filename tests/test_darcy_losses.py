@@ -282,16 +282,24 @@ def test_fv_cg_error_loss_measures_the_error_norm():
     bump_mse = float(jnp.mean(jnp.broadcast_to(
         bump, out[..., 0].shape) ** 2))
 
+    # the u anchor recovers the actual error energy
+    from pde_surrogate_tpu.ops.darcy import fv_cg_anchors
+    err_u, err_flux = fv_cg_anchors(inp, drifted, n_cg=n_cg)
+    assert 0.3 * bump_mse < float(err_u) < 3.0 * bump_mse, (
+        float(err_u), bump_mse)
+    # round 4: the flux anchor targets flux(u_hat + e_k), so the drifted
+    # fields' SELF-consistent fluxes are also flagged as wrong (round 3
+    # anchored to u_hat's own fluxes and scored this exactly 0)
+    assert float(err_flux) > 1e-4, float(err_flux)
     _, (pde_cg, _, _) = fv_cg_error_loss(inp, drifted, n_cg=n_cg)
-    # the error objective recovers the actual error energy
-    assert 0.3 * bump_mse < float(pde_cg) < 3.0 * bump_mse, (
-        float(pde_cg), bump_mse)
+    np.testing.assert_allclose(float(pde_cg), float(err_u) + float(err_flux),
+                               rtol=1e-5)
     # the raw FV residual under-reports the same smooth self-consistent
     # error by orders of magnitude — the conditioning gap that broke
     # channelized training
     _, (pde_fv, _, _) = fv_mixed_residual_loss(inp, drifted)
-    assert float(pde_fv) < 0.1 * float(pde_cg), (float(pde_fv),
-                                                 float(pde_cg))
+    assert float(pde_fv) < 0.1 * float(err_u), (float(pde_fv),
+                                                float(err_u))
 
     # differentiable and finite at the default iteration budget
     g = jax.grad(lambda o: fv_cg_error_loss(inp, o)[0])(drifted)
