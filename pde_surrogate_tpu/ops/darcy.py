@@ -352,8 +352,17 @@ def fv_cg_anchors(input: jax.Array, output: jax.Array,
     state, ``flux(u_hat + e_k)`` is a near-label target available
     label-free; objective family extends
     /root/reference/models/darcy.py:162-233.
+
+    The Dirichlet columns of the corrected pressure are CLAMPED to the
+    exact boundary values (known constants — still label-free): the CG
+    system eliminates those DOFs, so e_k is zero there and u_hat's own
+    boundary error would otherwise pollute the boundary-adjacent flux
+    target through the 1/h face gradient.  Measured (channelized contrast
+    100, corrupted u_hat): without the clamp the target's flux error
+    PLATEAUS at 0.20/0.50 rel (h/v) no matter the CG depth; with it,
+    0.017/0.033 at n_cg=128 and 7e-4/2e-3 at 256 — near-label.
     """
-    from ..solvers.fd_darcy import _faces_to_nodes, _harm
+    from ..solvers.fd_darcy import (_faces_to_nodes, _harm, _interior_mask)
 
     K = input[..., 0]
     u = output[..., 0]
@@ -364,7 +373,9 @@ def fv_cg_anchors(input: jax.Array, output: jax.Array,
     e = _cg_pressure_errors(input, output, n_cg)
     err_u = jnp.mean(e ** 2)
 
-    u_corr = u + e
+    mask = _interior_mask(n)
+    u_d = jnp.zeros((n, n), K.dtype).at[:, 0].set(1.0)
+    u_corr = (u + e) * mask + u_d
     Kx = _harm(K[..., :, :-1], K[..., :, 1:])
     Ky = _harm(K[..., :-1, :], K[..., 1:, :])
     fx = -Kx * (u_corr[..., :, 1:] - u_corr[..., :, :-1]) / h
