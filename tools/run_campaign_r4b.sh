@@ -16,6 +16,17 @@ while ! grep -q CAMPAIGN_R4A_DONE logs/campaign_r4a.log 2>/dev/null; do
   sleep 120
 done
 
+# 0. resume the watchdog-killed im128 leg (campaign A leg 4: axon RPC hang
+# at epoch 258/300) from its epoch-200 checkpoint — identical args + the
+# same run dir, so history + OneCycle position restore exactly.
+bash tools/tpu_gate.sh
+timeout 7200 $PY -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
+    --data grf_kle512 --imsize 128 --ntrain 4096 --ntest 512 --epochs 300 \
+    --batch-size 32 --physics sobel_fvcg --fvcg-flux-weight 1 \
+    --sobel-size 5 --weight-bound 50 --seed 1 --no-plot --run 53 \
+    --ckpt-epoch 200 \
+    > logs/hybridflux_kle512_im128_300ep_resume.log 2>&1
+
 bash tools/tpu_gate.sh
 timeout 3600 $PY tools/sharedstats_probe.py > logs/cfree_probe_r4.log 2>&1
 
