@@ -27,6 +27,16 @@ timeout 7200 $PY -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
     --ckpt-epoch 200 \
     > logs/hybridflux_kle512_im128_300ep_resume.log 2>&1
 
+# 0b. the shared-stats accuracy A-side: no corrected-vintage plain
+# canonical (3x3, wb10, 300ep, seed 1, concat impl) exists — the B-side
+# (run 54, --shared-stats) measured R2 .957/.953/.857; the default flip
+# needs the same-seed A-side on the same vintage.
+bash tools/tpu_gate.sh
+timeout 5400 $PY -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
+    --data grf_kle512 --ntrain 4096 --ntest 512 --epochs 300 \
+    --batch-size 32 --seed 1 --no-plot --run 56 \
+    > logs/canon_kle512_300ep_r4.log 2>&1
+
 bash tools/tpu_gate.sh
 timeout 3600 $PY tools/sharedstats_probe.py > logs/cfree_probe_r4.log 2>&1
 
