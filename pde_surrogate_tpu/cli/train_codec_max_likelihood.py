@@ -7,6 +7,8 @@ mixed-residual driver with ``F.mse_loss(output, target)``, :201-213; default
 
 from __future__ import annotations
 
+import argparse
+
 from ..utils.config import BaseParser, int_list
 from ._codec_common import run_codec_training
 
@@ -42,9 +44,12 @@ class Parser(BaseParser):
         self.add_argument("--dtype", type=str, default="f32",
                           choices=["f32", "bf16"],
                           help="conv compute dtype (params stay f32)")
-        self.add_argument("--shared-stats", action="store_true", default=False,
+        self.add_argument("--shared-stats", action=argparse.BooleanOptionalAction,
+                          default=True,
                           help="dense blocks reuse per-group BN batch moments "
-                               "(models/codec.DenseBlock shared_stats)")
+                               "(models/codec.DenseBlock shared_stats); "
+                               "default ON since round 4 (measured parity, "
+                               "logs/canon_kle512_300ep_r4.log)")
         self.add_argument("--batch-size", type=int, default=32)
         self.add_argument("--test-batch-size", type=int, default=64)
         self.add_argument("--seed", type=int, default=1)
