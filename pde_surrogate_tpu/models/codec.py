@@ -228,6 +228,37 @@ class _SharedGroupwiseNorm(nn.Module):
         return out
 
 
+@jax.custom_vjp
+def _conv3x3_f32acc(g, k):
+    """3x3/pad-1 NHWC conv that accumulates (and returns) in f32 whatever
+    the operand dtype.  ``preferred_element_type=f32``'s built-in VJP
+    constructs a mixed-dtype conv (f32 cotangent x bf16 kernel) that lax
+    rejects, so the backward below runs the two gradient convs in the
+    operand dtype with the cotangent cast down once — exactly the convs
+    a fused bf16 ``nn.Conv`` backward performs natively."""
+    return jax.lax.conv_general_dilated(
+        g, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _conv3x3_f32acc_fwd(g, k):
+    return _conv3x3_f32acc(g, k), (g, k)
+
+
+def _conv3x3_f32acc_bwd(res, ct):
+    g, k = res
+    same_dtype_conv = functools.partial(
+        jax.lax.conv_general_dilated, window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    _, vjp = jax.vjp(same_dtype_conv, g, k)
+    return vjp(ct.astype(g.dtype))
+
+
+_conv3x3_f32acc.defvjp(_conv3x3_f32acc_fwd, _conv3x3_f32acc_bwd)
+
+
 class _GroupSumConv(nn.Module):
     """3x3 conv over a channel-concatenated group list WITHOUT the concat:
     ``conv(concat(groups), W) == sum_g conv(g, W[:, :, slice_g, :])`` —
@@ -248,15 +279,14 @@ class _GroupSumConv(nn.Module):
         for g in groups:
             end = start + g.shape[-1]
             k = kernel[:, :, start:end, :]
-            if self.dtype is not None:
-                g, k = g.astype(self.dtype), k.astype(self.dtype)
-            # accumulate partial sums in f32: one fused conv rounds its
-            # (f32-accumulated) GEMM to the compute dtype exactly once —
-            # bf16 partial-sum adds here would round L times instead
-            o = jax.lax.conv_general_dilated(
-                g, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
+            compute = jnp.promote_types(g.dtype, jnp.float32) \
+                if self.dtype is None else self.dtype
+            # partial sums accumulate in f32 (preferred_element_type): one
+            # fused conv rounds its f32-accumulated GEMM to the compute
+            # dtype exactly once — rounding each partial to bf16 costs
+            # ~0.1 rel-L2 of gradient noise, and bf16 partial-sum adds
+            # diverge training outright
+            o = _conv3x3_f32acc(g.astype(compute), k.astype(compute))
             out = o if out is None else out + o
             start = end
         out_dtype = (self.dtype if self.dtype is not None

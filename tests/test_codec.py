@@ -201,6 +201,33 @@ class TestSharedStats:
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                    rtol=2e-2, atol=2e-2)
 
+    def test_bf16_gradients_compute_and_close(self):
+        """bf16 train step must differentiate (round-4 probe crash: the
+        preferred_element_type=f32 partial convs built a mixed-dtype conv
+        in the VJP) and stay close to the concat impl's bf16 gradients."""
+        ref, shared = self._pair(dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.default_rng(4).normal(
+            size=(2, 32, 32, 1)).astype(np.float32))
+        variables = ref.init(jax.random.key(5), x, train=False)
+
+        def loss(params, model):
+            y, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.mean(y.astype(jnp.float32) ** 2)
+
+        g1 = jax.grad(loss)(variables["params"], ref)
+        g2 = jax.grad(loss)(variables["params"], shared)
+        a = np.concatenate([np.asarray(v).ravel() for v in
+                            jax.tree_util.tree_leaves(g1)])
+        b = np.concatenate([np.asarray(v).ravel() for v in
+                            jax.tree_util.tree_leaves(g2)])
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        # measured impl-noise level ~0.005 (same as shared-stats); the
+        # pre-fix rounding-per-partial variant sat at 0.103
+        rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+        assert rel < 0.05, f"bf16 gradient rel-L2 {rel:.3f}"
+
     def test_bottleneck_rejected(self):
         model = DenseED(1, 3, imsize=32, blocks=[3, 4, 3], growth_rate=8,
                         init_features=16, bottleneck=True, shared_stats=True)
@@ -224,3 +251,4 @@ class TestConcatFree(TestSharedStats):
                   growth_rate=8, init_features=16, dtype=dtype)
         return DenseED(**kw), DenseED(**kw, shared_stats=True,
                                       concat_free=True)
+
