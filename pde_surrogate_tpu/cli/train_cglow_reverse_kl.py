@@ -76,6 +76,22 @@ class Parser(BaseParser):
         self.add_argument("--beta", type=float, default=150.0)
         self.add_argument("--weight-decay", type=float, default=0.0)
         self.add_argument("--weight-bound", type=float, default=50.0)
+        self.add_argument("--physics", type=str, default="sobel",
+                          choices=["sobel", "sobel_fvcg"],
+                          help="per-sample physics loss: 'sobel' = the "
+                               "reference's mixed residual; 'sobel_fvcg' "
+                               "adds the codec hybrid's label-free CG "
+                               "anchors (ops/darcy.fv_cg_anchors) to every "
+                               "drawn sample")
+        self.add_argument("--fvcg-weight", type=float, default=100.0,
+                          help="weight of the CG pressure-error anchor "
+                               "under --physics sobel_fvcg")
+        self.add_argument("--fvcg-flux-weight", type=float, default=0.0,
+                          help="weight of the CG-corrected-pressure flux "
+                               "anchor under --physics sobel_fvcg")
+        self.add_argument("--fvcg-iters", type=int, default=None,
+                          help="CG depth of the fvcg anchors (default: "
+                               "the grid size)")
         self.add_argument("--batch-size", type=int, default=32)
         self.add_argument("--test-batch-size", type=int, default=64)
         self.add_argument("--seed", type=int, default=1)
@@ -117,6 +133,16 @@ class Parser(BaseParser):
                    f"batch{args.batch_size}_lr{args.lr}_epochs{args.epochs}")
         if args.data_init:
             hparams = hparams + "_data_init"
+        # training-relevant objective variants get their own run dirs
+        # (same convention as the codec driver)
+        if args.physics != "sobel":
+            hparams += f"_{args.physics}"
+            if args.fvcg_weight != 100.0:
+                hparams += f"_w{args.fvcg_weight:g}"
+            if args.fvcg_flux_weight != 0.0:
+                hparams += f"_fw{args.fvcg_flux_weight:g}"
+            if args.fvcg_iters is not None:
+                hparams += f"_cg{args.fvcg_iters}"
         # squeeze_order must match the weights being loaded: the param
         # trees of both orders are identical, so loading
         # reference-order weights (import_torch_ckpt --model glow) into a
@@ -209,7 +235,11 @@ def main(argv=None):
 
     sobel = SobelFilter(args.imsize, correct=True)
     train_step = make_reverse_kl_step(model, tx, sobel, args.beta,
-                                      args.weight_bound, n_out_pixels)
+                                      args.weight_bound, n_out_pixels,
+                                      physics=args.physics,
+                                      fvcg_weight=args.fvcg_weight,
+                                      fvcg_flux_weight=args.fvcg_flux_weight,
+                                      fvcg_iters=args.fvcg_iters)
     eval_one = make_glow_eval_step(model, sobel, args.beta,
                                    args.weight_bound, n_out_pixels)
     eval_mean = make_glow_eval_step(model, sobel, args.beta,

@@ -28,7 +28,7 @@ from flax.core import FrozenDict
 
 from ..models.flow import actnorm_stats_to_params
 from ..ops.darcy import (conv_boundary_condition, conv_constitutive_constraint,
-                         conv_continuity_constraint)
+                         conv_continuity_constraint, fv_cg_anchors)
 from ..ops.filters import SobelFilter
 from ..utils.metrics import relative_l2, squared_error_sum
 from .codec_trainer import _adam_l2 as _adam
@@ -87,13 +87,28 @@ def _variables(state: GlowState):
 
 
 def make_reverse_kl_step(model, tx, sobel: SobelFilter, beta: float,
-                         weight_bound: float, n_out_pixels: int):
+                         weight_bound: float, n_out_pixels: int,
+                         physics: str = "sobel",
+                         fvcg_weight: float = 100.0,
+                         fvcg_flux_weight: float = 0.0,
+                         fvcg_iters: int | None = None):
     """Label-free reverse-KL step (train_cglow_reverse_kl.py:250-273).
 
     Per-step PRNG keys fold the step counter into the state's base key, so
     the step is scannable (codec_trainer.make_epoch_fn) with bitwise-stable
     randomness; the jitted step exposes the body as ``.core``.
+
+    ``physics='sobel_fvcg'`` adds the codec hybrid's label-free CG anchors
+    (ops/darcy.fv_cg_anchors, round 4) to the per-sample physics loss:
+    every drawn sample's pressure is pulled toward the FV solution
+    (killing the flat interior-offset direction of the Sobel residual,
+    exactly as in the codec) and, with ``fvcg_flux_weight > 0``, its
+    fluxes toward the CG-corrected pressure's conservative face fluxes.
+    ``physics='sobel'`` is byte-identical to the round-3 objective
+    (/root/reference/train_cglow_reverse_kl.py:250-273 parity path).
     """
+    if physics not in ("sobel", "sobel_fvcg"):
+        raise ValueError(f"unknown glow physics loss: {physics}")
 
     def step(state: GlowState, x):
         key = jax.random.fold_in(state.key, state.step)
@@ -108,6 +123,11 @@ def make_reverse_kl_step(model, tx, sobel: SobelFilter, beta: float,
                         + conv_continuity_constraint(output, sobel))
             diri, neum = conv_boundary_condition(output)
             loss_pde = residual + (diri + neum) * weight_bound
+            if physics == "sobel_fvcg":
+                err_u, err_flux = fv_cg_anchors(x, output, fvcg_iters)
+                anchor = fvcg_weight * err_u + fvcg_flux_weight * err_flux
+                loss_pde = loss_pde + anchor
+                residual = residual + anchor
             neg_entropy = log_likelihood.mean() / LN2 / n_out_pixels
             loss = loss_pde * beta + neg_entropy
             return loss, (mutated["batch_stats"], residual, diri + neum,

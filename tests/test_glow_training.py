@@ -78,6 +78,37 @@ def test_reverse_kl_deterministic():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_reverse_kl_fvcg_anchor():
+    """sobel_fvcg reverse-KL (round 4, the codec hybrid's CG anchors on
+    every drawn sample): zero anchor weights reproduce the sobel loss
+    exactly, nonzero weights add a positive finite anchor and the step
+    trains."""
+    model, state, tx, x, y, n = _setup()
+    kw = dict(beta=150.0, weight_bound=50.0, n_out_pixels=3 * n * n)
+    plain = make_reverse_kl_step(model, tx, SobelFilter(n), **kw)
+    zeroed = make_reverse_kl_step(model, tx, SobelFilter(n), **kw,
+                                  physics="sobel_fvcg", fvcg_weight=0.0,
+                                  fvcg_flux_weight=0.0)
+    anchored = make_reverse_kl_step(model, tx, SobelFilter(n), **kw,
+                                    physics="sobel_fvcg", fvcg_weight=100.0,
+                                    fvcg_flux_weight=1.0)
+    copy = lambda s: jax.tree.map(jnp.copy, s)  # steps donate their state
+    _, m_plain = plain(copy(state), x)
+    _, m_zero = zeroed(copy(state), x)
+    np.testing.assert_allclose(float(m_zero["loss"]), float(m_plain["loss"]),
+                               rtol=1e-6)
+    st, m0 = anchored(copy(state), x)
+    assert float(m0["loss"]) > float(m_plain["loss"])  # anchors are norms
+    losses = [float(m0["loss"])]
+    for _ in range(6):
+        st, m = anchored(st, x)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[1:]) < losses[0]
+    with pytest.raises(ValueError, match="physics"):
+        make_reverse_kl_step(model, tx, SobelFilter(n), **kw, physics="bogus")
+
+
 def test_forward_kl_step_descends():
     """MLE training through the density path reduces bits/pixel."""
     from pde_surrogate_tpu.train.glow_trainer import make_forward_kl_step
