@@ -75,15 +75,18 @@ def test_predict_codec_cli(tmp_path):
         assert f["output"].shape == (8, 3, 16, 16)
 
 
-@pytest.mark.parametrize("physics", ["fv", "fvcg"])
+@pytest.mark.parametrize("physics", ["fv", "fvcg", "sobel_fvcg"])
 def test_train_codec_fv_physics_cli(tmp_path, physics):
-    """--physics fv/fvcg: the FV-family objectives train e2e."""
+    """--physics fv/fvcg/sobel_fvcg: the FV-family objectives train e2e
+    (sobel_fvcg runs with the round-4 flux anchor + explicit CG depth)."""
     from pde_surrogate_tpu.cli.train_codec_mixed_residual import main
+    extra = ["--fvcg-flux-weight", "1", "--fvcg-iters", "8"] \
+        if physics == "sobel_fvcg" else []
     state, logger = main(_common(tmp_path, [
         "--ntrain", "16", "--ntest", "8", "--batch-size", "8",
         "--test-batch-size", "8", "--imsize", "16", "--epochs", "2",
         "--blocks", "1,2,1", "--growth-rate", "4", "--init-features", "8",
-        "--ckpt-freq", "2", "--physics", physics]))
+        "--ckpt-freq", "2", "--physics", physics] + extra))
     assert np.isfinite(logger["loss_train"]).all()
     assert logger["loss_train"][-1] < logger["loss_train"][0]
 
@@ -236,6 +239,22 @@ def test_train_cglow_wide_coupling_cli(tmp_path):
     assert np.isfinite(logger["loss_train"]).all()
     leaves = jax.tree_util.tree_leaves(state.params)
     assert leaves  # params built through the wide-coupling path
+
+
+def test_train_cglow_fvcg_physics_cli(tmp_path):
+    """cGlow --physics sobel_fvcg (round 4): the CG anchors ride the
+    reverse-KL objective through the full driver incl. scan-epochs and
+    the _sobel_fvcg run-dir suffix."""
+    from pde_surrogate_tpu.cli.train_cglow_reverse_kl import main as train_main
+    state, logger = train_main(_common(tmp_path, [
+        "--kle", "64", "--ntrain", "8", "--ntest", "8", "--imsize", "16",
+        "--enc-blocks", "2,2", "--flow-blocks", "2,2", "--batch-size", "8",
+        "--test-batch-size", "8", "--epochs", "1",
+        "--physics", "sobel_fvcg", "--fvcg-flux-weight", "1",
+        "--fvcg-iters", "8"]))
+    assert np.isfinite(logger["loss_train"]).all()
+    runs = list((tmp_path / "experiments" / "cglow" / "reverse_kld").iterdir())
+    assert any("_sobel_fvcg_fw1_cg8" in r.name for r in runs)
 
 
 def test_train_cglow_init_from_cli(tmp_path):
