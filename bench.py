@@ -239,19 +239,47 @@ def main():
     }))
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+    """Probe the backend in a SUBPROCESS (with a hard timeout) until a value
+    fetch succeeds.  A DOWN backend makes in-process init HANG, not raise —
+    the retry wrapper below can only catch errors, so gate first.  Mirrors
+    tools/tpu_gate.sh; proceeds after max_wait_s either way."""
+    import subprocess
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax, jax.numpy as jnp; "
+                 "print(float(jnp.ones(2).sum()))"],
+                timeout=120, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("[bench] backend still down after gate window — "
+                  "proceeding anyway", file=sys.stderr)
+            return
+        print("[bench] backend down; re-probing in 120s", file=sys.stderr)
+        time.sleep(120)
+
+
 if __name__ == "__main__":
     import os
     # transient "TPU backend error (Internal)" / UNAVAILABLE blips happen on
     # this platform (CLAUDE.md); the driver runs bench ONCE per round, so a
     # blip would cost the round's benchmark. Retry in a FRESH process (the
     # backend state is not trustworthy after an RPC failure).
+    _wait_for_backend()
     attempt = int(os.environ.get("BENCH_ATTEMPT", "1"))
     try:
         main()
     except Exception as e:  # noqa: BLE001 — last-resort round-saver
-        if attempt >= 3:
+        # round-4 measured backend-down WINDOWS of 30-70 min (not just
+        # blips, logs/tpu_watchdog.log) — ride out most of one
+        if attempt >= 6:
             raise
-        sleep_s = float(os.environ.get("BENCH_RETRY_SLEEP", "60"))
+        sleep_s = float(os.environ.get("BENCH_RETRY_SLEEP", "300"))
         print(f"[bench] attempt {attempt} failed: {type(e).__name__}: {e} — "
               f"re-exec in {sleep_s:.0f}s", file=sys.stderr)
         time.sleep(sleep_s)
