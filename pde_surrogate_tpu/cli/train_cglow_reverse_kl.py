@@ -77,12 +77,14 @@ class Parser(BaseParser):
         self.add_argument("--weight-decay", type=float, default=0.0)
         self.add_argument("--weight-bound", type=float, default=50.0)
         self.add_argument("--physics", type=str, default="sobel",
-                          choices=["sobel", "sobel_fvcg"],
+                          choices=["sobel", "sobel_fvcg", "fvcg"],
                           help="per-sample physics loss: 'sobel' = the "
                                "reference's mixed residual; 'sobel_fvcg' "
                                "adds the codec hybrid's label-free CG "
                                "anchors (ops/darcy.fv_cg_anchors) to every "
-                               "drawn sample")
+                               "drawn sample; 'fvcg' = the pure CG-anchor "
+                               "objective (no Sobel terms — the recommended "
+                               "codec recipe on discontinuous K)")
         self.add_argument("--fvcg-weight", type=float, default=100.0,
                           help="weight of the CG pressure-error anchor "
                                "under --physics sobel_fvcg")

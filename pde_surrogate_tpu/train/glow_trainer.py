@@ -104,10 +104,17 @@ def make_reverse_kl_step(model, tx, sobel: SobelFilter, beta: float,
     (killing the flat interior-offset direction of the Sobel residual,
     exactly as in the codec) and, with ``fvcg_flux_weight > 0``, its
     fluxes toward the CG-corrected pressure's conservative face fluxes.
-    ``physics='sobel'`` is byte-identical to the round-3 objective
-    (/root/reference/train_cglow_reverse_kl.py:250-273 parity path).
+    ``physics='fvcg'`` drops the Sobel terms entirely and uses the pure
+    CG-anchor objective (codec analog: ops/darcy.fv_cg_error_loss —
+    ``pde = err_u + err_flux``, Dirichlet-only boundary weight), the
+    recommended codec recipe on discontinuous K since round 4 (channelized
+    label-free at the supervised ceiling, docs/RESULTS.md; the Sobel flux
+    term's inconsistent discontinuity stencils were the binding
+    constraint).  ``physics='sobel'`` is byte-identical to the round-3
+    objective (/root/reference/train_cglow_reverse_kl.py:250-273 parity
+    path).
     """
-    if physics not in ("sobel", "sobel_fvcg"):
+    if physics not in ("sobel", "sobel_fvcg", "fvcg"):
         raise ValueError(f"unknown glow physics loss: {physics}")
 
     def step(state: GlowState, x):
@@ -119,15 +126,21 @@ def make_reverse_kl_step(model, tx, sobel: SobelFilter, beta: float,
                  "constants": state.constants},
                 x, key=key, train=True, method=model.generate,
                 mutable=["batch_stats"])
-            residual = (conv_constitutive_constraint(x, output, sobel)
-                        + conv_continuity_constraint(output, sobel))
             diri, neum = conv_boundary_condition(output)
-            loss_pde = residual + (diri + neum) * weight_bound
-            if physics == "sobel_fvcg":
+            if physics == "fvcg":
                 err_u, err_flux = fv_cg_anchors(x, output, fvcg_iters)
-                anchor = fvcg_weight * err_u + fvcg_flux_weight * err_flux
-                loss_pde = loss_pde + anchor
-                residual = residual + anchor
+                residual = err_u + err_flux
+                loss_pde = residual + diri * weight_bound
+            else:
+                residual = (conv_constitutive_constraint(x, output, sobel)
+                            + conv_continuity_constraint(output, sobel))
+                loss_pde = residual + (diri + neum) * weight_bound
+                if physics == "sobel_fvcg":
+                    err_u, err_flux = fv_cg_anchors(x, output, fvcg_iters)
+                    anchor = (fvcg_weight * err_u
+                              + fvcg_flux_weight * err_flux)
+                    loss_pde = loss_pde + anchor
+                    residual = residual + anchor
             neg_entropy = log_likelihood.mean() / LN2 / n_out_pixels
             loss = loss_pde * beta + neg_entropy
             return loss, (mutated["batch_stats"], residual, diri + neum,

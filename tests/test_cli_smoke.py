@@ -241,20 +241,23 @@ def test_train_cglow_wide_coupling_cli(tmp_path):
     assert leaves  # params built through the wide-coupling path
 
 
-def test_train_cglow_fvcg_physics_cli(tmp_path):
-    """cGlow --physics sobel_fvcg (round 4): the CG anchors ride the
-    reverse-KL objective through the full driver incl. scan-epochs and
-    the _sobel_fvcg run-dir suffix."""
+@pytest.mark.parametrize("physics,extra,suffix", [
+    ("sobel_fvcg", ["--fvcg-flux-weight", "1"], "_sobel_fvcg_fw1_cg8"),
+    ("fvcg", [], "_fvcg_cg8"),
+])
+def test_train_cglow_fvcg_physics_cli(tmp_path, physics, extra, suffix):
+    """cGlow --physics sobel_fvcg / fvcg (round 4): the CG anchors ride
+    the reverse-KL objective through the full driver incl. scan-epochs and
+    the physics run-dir suffix."""
     from pde_surrogate_tpu.cli.train_cglow_reverse_kl import main as train_main
     state, logger = train_main(_common(tmp_path, [
         "--kle", "64", "--ntrain", "8", "--ntest", "8", "--imsize", "16",
         "--enc-blocks", "2,2", "--flow-blocks", "2,2", "--batch-size", "8",
         "--test-batch-size", "8", "--epochs", "1",
-        "--physics", "sobel_fvcg", "--fvcg-flux-weight", "1",
-        "--fvcg-iters", "8"]))
+        "--physics", physics, "--fvcg-iters", "8"] + extra))
     assert np.isfinite(logger["loss_train"]).all()
     runs = list((tmp_path / "experiments" / "cglow" / "reverse_kld").iterdir())
-    assert any("_sobel_fvcg_fw1_cg8" in r.name for r in runs)
+    assert any(suffix in r.name for r in runs)
 
 
 def test_train_cglow_init_from_cli(tmp_path):
