@@ -34,7 +34,8 @@ from ..train.codec_trainer import (create_state, current_lr, make_epoch_fn,
 from ..utils.metrics import r2_score
 from ..viz.plot import plot_prediction_det, save_stats
 
-__all__ = ["ensure_dataset", "resolve_dataset_files", "run_codec_training",
+__all__ = ["ensure_dataset", "resolve_dataset_files", "uq_dataset_files",
+           "run_codec_training",
            "run_find_lr"]
 
 
@@ -130,6 +131,43 @@ def resolve_dataset_files(args, need_train_output: bool = False):
     ensure_dataset(test, family, max(args.ntest, 1), args.imsize, kle,
                    seed=20_000 + kle, with_output=True)
     return train, test
+
+
+def uq_dataset_files(run_args, n_mc: int, ntest: int):
+    """Monte-Carlo + labeled-val files for the UQ suite (post_cglow).
+
+    Family-aware twin of ``resolve_dataset_files``; the MC design gets its
+    own seed stream (40_000 + kle) so it never aliases the train/val
+    designs.  ``run_args`` is a trained run's args.txt namespace — runs
+    recorded before the ``--data`` flag existed default to the GRF family.
+    """
+    data = getattr(run_args, "data", "grf_kle512")
+    if data == "grf_kle512":
+        kle = getattr(run_args, "kle", None) or 512
+        mc = dataset_path(run_args.data_dir, run_args.imsize,
+                          f"kle{kle}_lhs10000_monte_carlo")
+        test = dataset_path(run_args.data_dir, run_args.imsize,
+                            f"kle{kle}_lhs1000_val")
+        family = "grf"
+    elif data == "channelized":
+        mc = dataset_path(run_args.data_dir, run_args.imsize,
+                          "channel_ng64_n10000_mc")
+        test = dataset_path(run_args.data_dir, run_args.imsize,
+                            "channel_ng64_n512_test")
+        kle, family = 0, "channelized"
+    elif data == "warped_grf":
+        mc = dataset_path(run_args.data_dir, run_args.imsize,
+                          "warped_gp_ng64_n10000_mc")
+        test = dataset_path(run_args.data_dir, run_args.imsize,
+                            "warped_gp_ng64_n512_test")
+        kle, family = 0, "warped_grf"
+    else:
+        raise ValueError(f"unknown data option: {data}")
+    ensure_dataset(mc, family, n_mc, run_args.imsize, kle,
+                   seed=40_000 + kle, with_output=True)
+    ensure_dataset(test, family, ntest, run_args.imsize, kle,
+                   seed=20_000 + kle, with_output=True)
+    return mc, test
 
 
 def run_codec_training(args, loss_kind: str):

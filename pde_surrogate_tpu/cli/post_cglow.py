@@ -18,12 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.hdf5 import dataset_path, load_args, load_data
+from ..data.hdf5 import load_args, load_data
 from ..models.glow import MultiScaleCondGlow
 from ..train.checkpoint import latest_epoch, restore_checkpoint
 from ..train.glow_trainer import create_glow_state
 from ..uq.uq import GlowSurrogate, UQCondGlow
-from ._codec_common import ensure_dataset
+from ._codec_common import uq_dataset_files
 
 
 def main(argv=None):
@@ -68,15 +68,10 @@ def main(argv=None):
                                squeeze_order=getattr(
                                    run_args, "squeeze_order", "subpixel"))
 
-    # datasets: monte-carlo + val (generated on demand like the trainers)
-    mc_file = dataset_path(run_args.data_dir, run_args.imsize,
-                           f"kle{run_args.kle}_lhs10000_monte_carlo")
-    test_file = dataset_path(run_args.data_dir, run_args.imsize,
-                             f"kle{run_args.kle}_lhs1000_val")
-    ensure_dataset(mc_file, "grf", args.n_monte_carlo, run_args.imsize,
-                   run_args.kle, seed=40_000 + run_args.kle, with_output=True)
-    ensure_dataset(test_file, "grf", args.ntest, run_args.imsize,
-                   run_args.kle, seed=20_000 + run_args.kle, with_output=True)
+    # datasets: monte-carlo + val (generated on demand like the trainers);
+    # family-aware — channelized/warped cGlow runs get matching UQ sets
+    mc_file, test_file = uq_dataset_files(run_args, args.n_monte_carlo,
+                                          args.ntest)
     mc_x, mc_y, _ = load_data(mc_file, args.n_monte_carlo, only_input=False)
     test_x, test_y, stats = load_data(test_file, args.ntest, only_input=False,
                                       return_stats=True)

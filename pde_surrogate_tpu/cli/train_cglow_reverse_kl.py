@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.hdf5 import dataset_path, load_data, save_args
+from ..data.hdf5 import load_data, save_args
 from ..data.pipeline import DeviceDataset
 from ..models.codec import module_size
 from ..models.glow import MultiScaleCondGlow
@@ -34,7 +34,7 @@ from ..train.glow_trainer import (create_glow_state, data_init_actnorm,
 from ..utils.config import BaseParser, int_list
 from ..utils.metrics import r2_score
 from ..viz.plot import plot_prediction_bayes2, save_samples, save_stats
-from ._codec_common import ensure_dataset
+from ._codec_common import resolve_dataset_files
 
 
 class Parser(BaseParser):
@@ -61,6 +61,13 @@ class Parser(BaseParser):
                                "record 'reference'), else 'subpixel'")
         # data
         self.add_argument("--data-dir", type=str, default="./datasets")
+        self.add_argument("--data", type=str, default="grf_kle512",
+                          choices=["grf_kle512", "channelized", "warped_grf"],
+                          help="input-field family (codec-driver parity; "
+                               "the reference cGlow only ships GRF-KLE — "
+                               "channelized/warped extend the probabilistic "
+                               "surrogate to the discontinuous families the "
+                               "fvcg anchors cracked)")
         self.add_argument("--kle", type=int, default=100)
         self.add_argument("--ntrain", type=int, default=4096)
         self.add_argument("--ntest", type=int, default=512)
@@ -129,10 +136,20 @@ class Parser(BaseParser):
             "ntrain must be divisible by batch-size"
         assert args.ntest % args.test_batch_size == 0, \
             "ntest must be divisible by test-batch-size"
-        hparams = (f"kle{args.kle}_ntrain{args.ntrain}_"
+        # grf keeps the historical kle<k> head so existing run dirs stay
+        # resumable; the new families lead with the family name instead
+        head = (f"kle{args.kle}" if args.data == "grf_kle512"
+                else args.data)
+        hparams = (f"{head}_ntrain{args.ntrain}_"
                    f"ENC_blocks{args.enc_blocks}_FLOW_blocks{args.flow_blocks}_"
                    f"wb{args.weight_bound}_beta{args.beta}_"
                    f"batch{args.batch_size}_lr{args.lr}_epochs{args.epochs}")
+        # non-default sizes get their own run dirs — without this, e.g.
+        # kle100@32 and kle100@64 with equal hparams silently share a dir
+        # (checkpoint mixing); 32 is the reference default and stays
+        # suffix-free so historical @32 dirs remain resumable
+        if args.imsize != 32:
+            hparams += f"_im{args.imsize}"
         if args.data_init:
             hparams = hparams + "_data_init"
         # training-relevant objective variants get their own run dirs
@@ -186,15 +203,10 @@ def main(argv=None):
     args.pred_dir = os.path.join(args.train_dir, "predictions")
     os.makedirs(args.pred_dir, exist_ok=True)
 
-    # datasets (generated on demand: inputs for training, solver-labeled val)
-    train_file = dataset_path(args.data_dir, args.imsize,
-                              f"kle{args.kle}_lhs10000_train")
-    test_file = dataset_path(args.data_dir, args.imsize,
-                             f"kle{args.kle}_lhs1000_val")
-    ensure_dataset(train_file, "grf", max(args.ntrain, 1), args.imsize,
-                   args.kle, seed=10_000 + args.kle, with_output=args.data_init)
-    ensure_dataset(test_file, "grf", max(args.ntest, 1), args.imsize,
-                   args.kle, seed=20_000 + args.kle, with_output=True)
+    # datasets (generated on demand: inputs for training, solver-labeled
+    # val) — family resolution shared with the codec drivers
+    train_file, test_file = resolve_dataset_files(
+        args, need_train_output=args.data_init)
 
     x_train, y_train, _ = load_data(train_file, args.ntrain,
                                     only_input=not args.data_init)

@@ -381,3 +381,30 @@ def test_train_cglow_and_post_cli(tmp_path):
     assert (post_dir / "uncertainty_quality" /
             "reliability_diagram.txt").exists()
     assert (post_dir / "out_stats" / "out_stats.mat").exists()
+
+
+def test_train_cglow_channelized_and_post_cli(tmp_path):
+    """cGlow on the channelized family (round 4 — beyond the reference,
+    which ships cGlow for GRF-KLE only): --data channelized rides the
+    codec's resolve_dataset_files, the run dir leads with the family name,
+    and post_cglow resolves family-matched MC/val sets (uq_dataset_files)."""
+    from pde_surrogate_tpu.cli.post_cglow import main as post_main
+    from pde_surrogate_tpu.cli.train_cglow_reverse_kl import main as train_main
+    state, logger = train_main(_common(tmp_path, [
+        "--data", "channelized", "--ntrain", "16", "--ntest", "8",
+        "--imsize", "16", "--enc-blocks", "2,2", "--flow-blocks", "2,2",
+        "--batch-size", "8", "--test-batch-size", "8", "--epochs", "2",
+        "--physics", "fvcg", "--fvcg-iters", "8", "--ckpt-freq", "2"]))
+    assert np.isfinite(logger["loss_train"]).all()
+    runs = list((tmp_path / "experiments" / "cglow" / "reverse_kld").iterdir())
+    assert len(runs) == 1 and runs[0].name.startswith("channelized_")
+    # the trainer generated the channelized (not kle) dataset files
+    ds = tmp_path / "datasets" / "16x16"
+    assert (ds / "channel_ng64_n4096_train.hdf5").exists()
+    uq = post_main(["--run-dir", str(runs[0]), "--n-monte-carlo", "8",
+                    "--ntest", "8", "--batch-size", "4", "--n-samples", "3",
+                    "--var-samples", "2", "--n-pred", "1", "--num-loc", "2"])
+    assert (ds / "channel_ng64_n10000_mc.hdf5").exists()
+    post_dir = runs[0] / "post_proc_epoch2"
+    rel = np.loadtxt(post_dir / "nrmse_test.txt")
+    assert rel.shape == (3,) and np.isfinite(rel).all()

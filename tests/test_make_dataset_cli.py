@@ -44,6 +44,27 @@ def test_make_dataset_channelized_matches_lazy_path(tmp_path):
         np.testing.assert_array_equal(fa["output"][:], fb["output"][:])
 
 
+def test_uq_dataset_files_family_resolution(tmp_path):
+    """post_cglow's family-aware MC/val resolution (round 4): channelized
+    run args get channelized MC + test sets; the MC design uses its own
+    seed stream (40_000 + kle) so it never aliases the val design."""
+    from types import SimpleNamespace
+    from pde_surrogate_tpu.cli._codec_common import uq_dataset_files
+    run_args = SimpleNamespace(data="channelized", data_dir=str(tmp_path),
+                               imsize=16, kle=0)
+    mc, test = uq_dataset_files(run_args, n_mc=2, ntest=2)
+    assert mc.endswith("channel_ng64_n10000_mc.hdf5")
+    assert test.endswith("channel_ng64_n512_test.hdf5")
+    with h5py.File(mc) as fm, h5py.File(test) as ft:
+        assert fm["output"].shape == (2, 3, 16, 16)
+        assert not np.array_equal(fm["input"][:], ft["input"][:])
+    # pre---data run args (no .data attr) resolve to the GRF family
+    legacy = SimpleNamespace(data_dir=str(tmp_path), imsize=16, kle=32)
+    mc2, test2 = uq_dataset_files(legacy, n_mc=2, ntest=2)
+    assert mc2.endswith("kle32_lhs10000_monte_carlo.hdf5")
+    assert test2.endswith("kle32_lhs1000_val.hdf5")
+
+
 def test_make_dataset_warped(tmp_path):
     from pde_surrogate_tpu.cli.make_dataset import main
     main(["--data-dir", str(tmp_path), "--imsize", "16",
