@@ -26,6 +26,19 @@ while ! grep -q CAMPAIGN_R4K_DONE logs/campaign_r4k.log 2>/dev/null; do
     sleep 120
 done
 
+# Leg 0 (moved ahead of the cGlow legs): pure fvcg kle512@128 at
+# --fvcg-iters 256, 300ep — the VERDICT-r3 0.95 u-gate shot.  The CPU
+# anchor-resolution probe (logs/fvcg_anchor_resolution_probe_r4.log)
+# measured the anchor target at 0.0012/0.0033 rel-L2 (u/flux) at this
+# depth vs 0.017/0.037 at the grid default, so this leg has
+# supervised-class headroom; highest value-per-minute in the queue.
+bash tools/tpu_gate.sh
+timeout 10800 python -m pde_surrogate_tpu.cli.train_codec_mixed_residual \
+    --data grf_kle512 --imsize 128 --ntrain 4096 --ntest 512 --epochs 300 \
+    --batch-size 32 --physics fvcg --fvcg-iters 256 --seed 1 --no-plot \
+    --run 73 \
+    > logs/fvcg2_kle512_im128_cg256_300ep.log 2>&1
+
 bash tools/tpu_gate.sh
 timeout 7200 $TRAIN \
     --data channelized --imsize 32 --ntrain 4096 --ntest 512 \

@@ -9,12 +9,12 @@
 # doubling; r4k leg 6 (run 72) tests cg256 for the hybrid, these legs
 # test it for pure fvcg plus the schedule lever (drift-free by
 # construction, so long schedules are safe where Sobel was not).
-# Legs (value-ordered):
-#  1. pure fvcg kle512@128, --fvcg-iters 256, 300ep — the direct gate shot
-#  2. pure fvcg channelized@128, 300ep — a (family,size) cell the
+# Legs (value-ordered; the cg256 300ep gate shot moved to the FRONT of
+# campaign r4l after the anchor-resolution probe confirmed its headroom):
+#  1. pure fvcg channelized@128, 300ep — a (family,size) cell the
 #     reference never ships (its drivers stop at 64^2); sampler is
 #     size-parameterized (data/grf.sample_channelized)
-#  3. pure fvcg kle512@128, cg256, 600ep — schedule x depth combined
+#  2. pure fvcg kle512@128, cg256, 600ep — schedule x depth combined
 # Waits for campaign r4l's DONE marker (single-process TPU).
 # Launch:
 #   nohup bash tools/run_campaign_r4m.sh > logs/campaign_r4m.log 2>&1 &
@@ -26,13 +26,6 @@ TRAIN="$PY -m pde_surrogate_tpu.cli.train_codec_mixed_residual"
 while ! grep -q CAMPAIGN_R4L_DONE logs/campaign_r4l.log 2>/dev/null; do
     sleep 120
 done
-
-bash tools/tpu_gate.sh
-timeout 10800 $TRAIN \
-    --data grf_kle512 --imsize 128 --ntrain 4096 --ntest 512 --epochs 300 \
-    --batch-size 32 --physics fvcg --fvcg-iters 256 --seed 1 --no-plot \
-    --run 73 \
-    > logs/fvcg2_kle512_im128_cg256_300ep.log 2>&1
 
 bash tools/tpu_gate.sh
 timeout 10800 $TRAIN \
