@@ -64,6 +64,26 @@ def ensure_dataset(path: str, data: str, n: int, imsize: int, kle: int,
             have_n = f["input"].shape[0]
         if have_n >= n and (have_output or not with_output):
             return
+        if have_n >= n and with_output and not have_output:
+            # Label augmentation is design-preserving: solve the FV labels
+            # for the inputs ALREADY on disk and attach them in place.
+            # (The hard guard below only protects the LHS input design —
+            # e.g. an inputs-only file made for label-free training later
+            # needed by the supervised-MLE control at the same size.)
+            import h5py
+            print(f"[data] attaching FV labels to existing {path} "
+                  f"({have_n} samples, imsize {imsize})...")
+            with h5py.File(path, "r") as f:
+                k = f["input"][()]  # (N, 1, H, W)
+            outs = []
+            for i in range(0, have_n, solve_batch):
+                batch = jnp.asarray(k[i:i + solve_batch, 0])
+                outs.append(np.asarray(solve_darcy_batch_fast(batch)))
+            with h5py.File(path, "a") as f:
+                f.create_dataset("output", data=np.concatenate(outs, 0),
+                                 dtype="f4", compression="gzip")
+            print(f"[data] labels attached to {path}")
+            return
         # NEVER silently regenerate: LHS designs are not prefix-stable, so a
         # bigger design would replace the existing samples under the same
         # canonical name and break reproducibility of earlier runs against

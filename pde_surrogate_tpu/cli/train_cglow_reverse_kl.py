@@ -153,15 +153,40 @@ class Parser(BaseParser):
         if args.data_init:
             hparams = hparams + "_data_init"
         # training-relevant objective variants get their own run dirs
-        # (same convention as the codec driver)
+        # (same convention as the codec driver).  The anchor weights only
+        # name the dir under sobel_fvcg — the pure-fvcg step uses
+        # unweighted err_u + err_flux, so suffixing them there would mint
+        # differently-named dirs for mathematically identical runs
+        # (advisor finding, ADVICE.md r4)
         if args.physics != "sobel":
             hparams += f"_{args.physics}"
-            if args.fvcg_weight != 100.0:
-                hparams += f"_w{args.fvcg_weight:g}"
-            if args.fvcg_flux_weight != 0.0:
-                hparams += f"_fw{args.fvcg_flux_weight:g}"
+            if args.physics == "sobel_fvcg":
+                if args.fvcg_weight != 100.0:
+                    hparams += f"_w{args.fvcg_weight:g}"
+                if args.fvcg_flux_weight != 0.0:
+                    hparams += f"_fw{args.fvcg_flux_weight:g}"
+            elif args.fvcg_weight != 100.0 or args.fvcg_flux_weight != 0.0:
+                raise SystemExit(
+                    "--fvcg-weight/--fvcg-flux-weight only apply to "
+                    "--physics sobel_fvcg; the pure fvcg objective is "
+                    "unweighted err_u + err_flux, so these flags would be "
+                    "silent no-ops")
             if args.fvcg_iters is not None:
                 hparams += f"_cg{args.fvcg_iters}"
+        # pre-round-4 runs at imsize != 32 predate the _im{N} suffix; a
+        # --resume that recomputes the new name must find them rather than
+        # silently start a fresh run dir (advisor finding, ADVICE.md r4)
+        if (args.resume or args.ckpt_epoch is not None) and args.imsize != 32:
+            hp = ("debug/" + hparams) if args.debug else hparams
+            new_dir = os.path.join(args.exp_dir, args.exp_name, hp)
+            legacy = hparams.replace(f"_im{args.imsize}", "", 1)
+            hp_leg = ("debug/" + legacy) if args.debug else legacy
+            legacy_dir = os.path.join(args.exp_dir, args.exp_name, hp_leg)
+            if not os.path.exists(os.path.join(new_dir, "args.txt")) \
+                    and os.path.exists(os.path.join(legacy_dir, "args.txt")):
+                print(f"--resume: using legacy (pre-_im{args.imsize}) run "
+                      f"dir {legacy_dir}")
+                hparams = legacy
         # squeeze_order must match the weights being loaded: the param
         # trees of both orders are identical, so loading
         # reference-order weights (import_torch_ckpt --model glow) into a

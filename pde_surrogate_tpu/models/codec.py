@@ -527,6 +527,12 @@ class DenseED(nn.Module):
     # with shared_stats: also eliminate the per-layer prefix concats
     # (DenseLayerConcatFree — the round-4 attack on the concat/copy share)
     concat_free: bool = False
+    # rematerialize dense-block activations in the backward pass
+    # (jax.checkpoint per block): trades HBM activation traffic for
+    # recompute FLOPs — the one bandwidth lever not probed after the slab
+    # and concat-free layouts both lost (VERDICT r4 item 7).  Variable
+    # tree unchanged (checkpoints interchangeable with remat off).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -538,6 +544,9 @@ class DenseED(nn.Module):
                 f"length of blocks must be an odd number, but got {len(blocks)}")
         enc_blocks = blocks[: len(blocks) // 2]
         dec_blocks = blocks[len(blocks) // 2:]
+        # prevent_cse=False: safe (and faster) outside lax.scan/cond
+        block_cls = nn.remat(DenseBlock, static_argnums=(2,),
+                             prevent_cse=False) if self.remat else DenseBlock
 
         pad = 3 if self.imsize % 2 == 0 else 2
         x = nn.Conv(self.init_features, (7, 7), strides=2, padding=pad,
@@ -545,22 +554,22 @@ class DenseED(nn.Module):
                     dtype=self.dtype, name="in_conv")(x)
         num_features = self.init_features
         for i, num_layers in enumerate(enc_blocks):
-            x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
-                           self.bn_size, self.bottleneck, self.dtype,
-                           shared_stats=self.shared_stats,
-                           concat_free=self.concat_free,
-                           name=f"encblock{i + 1}")(x, train)
+            x = block_cls(num_layers, self.growth_rate, self.drop_rate,
+                          self.bn_size, self.bottleneck, self.dtype,
+                          shared_stats=self.shared_stats,
+                          concat_free=self.concat_free,
+                          name=f"encblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             x = Transition(num_features // 2, down=True,
                            drop_rate=self.drop_rate, dtype=self.dtype,
                            name=f"transdown{i + 1}")(x, train)
             num_features //= 2
         for i, num_layers in enumerate(dec_blocks):
-            x = DenseBlock(num_layers, self.growth_rate, self.drop_rate,
-                           self.bn_size, self.bottleneck, self.dtype,
-                           shared_stats=self.shared_stats,
-                           concat_free=self.concat_free,
-                           name=f"decblock{i + 1}")(x, train)
+            x = block_cls(num_layers, self.growth_rate, self.drop_rate,
+                          self.bn_size, self.bottleneck, self.dtype,
+                          shared_stats=self.shared_stats,
+                          concat_free=self.concat_free,
+                          name=f"decblock{i + 1}")(x, train)
             num_features += num_layers * self.growth_rate
             if i < len(dec_blocks) - 1:
                 x = Transition(num_features // 2, down=False,

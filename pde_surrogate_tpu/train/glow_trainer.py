@@ -127,33 +127,42 @@ def make_reverse_kl_step(model, tx, sobel: SobelFilter, beta: float,
                 x, key=key, train=True, method=model.generate,
                 mutable=["batch_stats"])
             diri, neum = conv_boundary_condition(output)
+            # anchor terms are logged under their own keys: under fvcg the
+            # Sobel-residual key would otherwise silently change meaning
+            # to an error norm, and 'boundary' only reports what the loss
+            # actually penalizes (advisor finding, ADVICE.md r4)
+            extra = {}
             if physics == "fvcg":
                 err_u, err_flux = fv_cg_anchors(x, output, fvcg_iters)
                 residual = err_u + err_flux
                 loss_pde = residual + diri * weight_bound
+                boundary = diri
+                extra = {"anchor_u": err_u, "anchor_flux": err_flux}
             else:
                 residual = (conv_constitutive_constraint(x, output, sobel)
                             + conv_continuity_constraint(output, sobel))
                 loss_pde = residual + (diri + neum) * weight_bound
+                boundary = diri + neum
                 if physics == "sobel_fvcg":
                     err_u, err_flux = fv_cg_anchors(x, output, fvcg_iters)
                     anchor = (fvcg_weight * err_u
                               + fvcg_flux_weight * err_flux)
                     loss_pde = loss_pde + anchor
                     residual = residual + anchor
+                    extra = {"anchor_u": err_u, "anchor_flux": err_flux}
             neg_entropy = log_likelihood.mean() / LN2 / n_out_pixels
             loss = loss_pde * beta + neg_entropy
-            return loss, (mutated["batch_stats"], residual, diri + neum,
-                          neg_entropy)
+            return loss, (mutated["batch_stats"], residual, boundary,
+                          neg_entropy, extra)
 
-        (loss, (bstats, residual, boundary, neg_ent)), grads = \
+        (loss, (bstats, residual, boundary, neg_ent, extra)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = GlowState(state.step + 1, params, bstats, state.constants,
                               opt_state, state.key)
         metrics = {"loss": loss, "residual": residual, "boundary": boundary,
-                   "neg_entropy": neg_ent}
+                   "neg_entropy": neg_ent, **extra}
         return new_state, metrics
 
     jitted = jax.jit(step, donate_argnums=(0,))

@@ -252,3 +252,47 @@ class TestConcatFree(TestSharedStats):
         return DenseED(**kw), DenseED(**kw, shared_stats=True,
                                       concat_free=True)
 
+
+
+class TestRemat:
+    """DenseED(remat=True): per-block activation rematerialization
+    (VERDICT r4 item 7 — the bandwidth-for-FLOPs trade).  Must be a pure
+    scheduling change: identical variable tree, forward, and gradients."""
+
+    def _pair(self):
+        kw = dict(in_channels=1, out_channels=3, imsize=16, blocks=[2, 3, 2],
+                  growth_rate=4, init_features=8, shared_stats=True)
+        return DenseED(**kw), DenseED(**kw, remat=True)
+
+    def test_tree_and_forward_identical(self):
+        ref, rem = self._pair()
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 1))
+        v = ref.init(jax.random.key(1), x, train=True)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(
+                    jax.eval_shape(lambda k, x: rem.init(k, x, train=True),
+                                   jax.random.key(1), x)))
+        y0, s0 = ref.apply(v, x, train=True, mutable=["batch_stats"])
+        y1, s1 = rem.apply(v, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        for a, b in zip(jax.tree_util.tree_leaves(s0),
+                        jax.tree_util.tree_leaves(s1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_gradients_match(self):
+        ref, rem = self._pair()
+        x = jax.random.normal(jax.random.key(2), (2, 16, 16, 1))
+        v = ref.init(jax.random.key(1), x, train=True)
+
+        def loss(params, model):
+            y, _ = model.apply({"params": params,
+                                "batch_stats": v["batch_stats"]},
+                               x, train=True, mutable=["batch_stats"])
+            return jnp.mean(y ** 2)
+
+        g0 = jax.grad(loss)(v["params"], ref)
+        g1 = jax.grad(loss)(v["params"], rem)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)

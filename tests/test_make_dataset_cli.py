@@ -70,3 +70,22 @@ def test_make_dataset_warped(tmp_path):
     main(["--data-dir", str(tmp_path), "--imsize", "16",
           "--family", "warped_grf", "--ntest", "4", "--solve-batch", "4"])
     assert (tmp_path / "16x16" / "warped_gp_ng16_n4.hdf5").exists()
+
+
+def test_ensure_dataset_attaches_labels_in_place(tmp_path):
+    """An inputs-only file later needed WITH labels gets FV labels solved
+    for its existing inputs (design-preserving augmentation — round 5:
+    the supervised-MLE control at a size whose train set was generated
+    label-free for fvcg training); the inputs must be byte-identical."""
+    from pde_surrogate_tpu.cli._codec_common import ensure_dataset
+    p = str(tmp_path / "16x16" / "kle32_lhs8_train.hdf5")
+    ensure_dataset(p, "grf", 8, 16, 32, seed=10_032, with_output=False)
+    with h5py.File(p) as f:
+        k_before = f["input"][()]
+        assert "output" not in f
+    ensure_dataset(p, "grf", 8, 16, 32, seed=10_032, with_output=True)
+    with h5py.File(p) as f:
+        np.testing.assert_array_equal(f["input"][()], k_before)
+        assert f["output"].shape == (8, 3, 16, 16)
+        u = f["output"][:, 0]
+        np.testing.assert_allclose(u[:, :, 0], 1.0, atol=1e-5)
