@@ -27,7 +27,8 @@ from ..models.codec import DenseED, module_size
 from ..ops.filters import SobelFilter
 from ..parallel.mesh import batch_sharding, data_mesh, replicate
 from ..solvers.fd_darcy import solve_darcy_batch_fast
-from ..train.checkpoint import restore_checkpoint, save_checkpoint
+from ..train.checkpoint import (latest_epoch, restore_checkpoint,
+                                save_checkpoint)
 from ..train.codec_trainer import (create_state, current_lr, make_epoch_fn,
                                    make_eval_epoch_fn, make_eval_step,
                                    make_mixed_residual_step, make_mle_step)
@@ -255,6 +256,19 @@ def run_codec_training(args, loss_kind: str):
 
     start_epoch = 1
     restored_meta: dict = {}
+    init_from = getattr(args, "init_from", None)
+    if init_from and args.ckpt_epoch is None:
+        # warm start: params + batch_stats only, fresh optimizer + schedule
+        # (cGlow --init-from semantics).  The codec is fully convolutional,
+        # so a checkpoint trained at one imsize initializes any other —
+        # the coarse-to-fine lever for the 128^2 pressure wall (round 5).
+        src, _, ep = init_from.partition(":")
+        src_ckpt = os.path.join(src, "checkpoints")
+        ep = int(ep) if ep else latest_epoch(src_ckpt)
+        loaded = restore_checkpoint(src_ckpt, ep, state)
+        state = state._replace(params=loaded.params,
+                               batch_stats=loaded.batch_stats)
+        print(f"Warm-started weights from {src_ckpt} epoch {ep}")
     if args.ckpt_epoch is not None:
         state, restored_meta = restore_checkpoint(args.ckpt_dir,
                                                   args.ckpt_epoch, state,

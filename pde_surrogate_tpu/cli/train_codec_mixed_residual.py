@@ -107,6 +107,14 @@ class Parser(BaseParser):
                           action="store_false", default=True,
                           help="use the eager per-step hot loop instead "
                                "of one device program per epoch")
+        self.add_argument("--init-from", type=str, default=None,
+                          help="run dir (or 'dir:epoch') to warm-start "
+                               "weights from, with a fresh optimizer and lr "
+                               "schedule (cGlow --init-from semantics). The "
+                               "codec is fully convolutional, so the source "
+                               "may be trained at a different imsize "
+                               "(coarse-to-fine). Use a distinct --run to "
+                               "keep the run dir separate")
         self.add_logging_args(ckpt_freq=100, log_freq=1, plot_freq=50)
 
     def parse(self, argv=None):
