@@ -12,11 +12,11 @@ POST="$PY -m pde_surrogate_tpu.cli.post_cglow"
 CUTOFF=1787258700   # 20:45 UTC
 guard() { [ "$(date +%s)" -lt "$CUTOFF" ] || { echo CAMPAIGN_R5B_DONE; echo CAMPAIGN_R5D_DONE; exit 0; }; }
 
-# wait for the in-flight warped@32 leg (left running when the r5b watcher
-# was killed) to release the chip
-while pgrep -f "train_codec_mixed_residual.*warped_grf.*run 82" >/dev/null 2>&1; do
-    sleep 60
-done
+# NOTE: an earlier revision pattern-waited on the warped@32 leg here and
+# deadlocked — the session shell wrapper that LAUNCHED this script holds
+# the whole script text (pattern included) in its own command line, so
+# pgrep matched forever (the CLAUDE.md never-kill-by-pattern trap, wait
+# flavor).  The leg had already exited; tpu_gate is the only wait needed.
 
 guard
 bash tools/tpu_gate.sh
