@@ -6,7 +6,7 @@
 set -x
 cd "$(dirname "$0")/.." || exit 1
 CUTOFF=1787258700
-while ! grep -q CAMPAIGN_R5D_DONE logs/campaign_r5d.log 2>/dev/null; do
+while ! grep -q CAMPAIGN_R5E_DONE logs/campaign_r5e.log 2>/dev/null; do
     sleep 120
 done
 [ "$(date +%s)" -lt "$CUTOFF" ] || { echo CAMPAIGN_R5C_DONE; exit 0; }
