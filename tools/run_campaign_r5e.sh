@@ -1,12 +1,12 @@
 #!/bin/bash
-# Round-5 campaign E: canonical-cGlow retry with --data-init.
+# Round-5 campaign E: canonical-cGlow retry (200 ep, no data-init).
 # The as-written run (lr 1e-3, identity-init ActNorms) destabilized at
 # max lr exactly as the reference README warns for this config
 # ("potentially unstable training", README.md:84) and died to NaN at
 # epoch 118 (logs/cglow_kle512_im64_canonical_300ep.log) — params went
 # non-finite so the apply_if_finite guard can only freeze, not recover.
-# The reference's own documented remedy for this config is --data-init
-# (README.md:85); 200 epochs so train + UQ + the probe legs all fit
+# Round 3 ran THIS exact config at 200 ep WITHOUT data-init successfully;
+# the 300-ep schedule lingers at max lr and blows up. 200 ep, no data-init
 # before the 20:45 UTC guard.  Then the r5d tail.
 set -x
 cd "$(dirname "$0")/.." || exit 1
@@ -22,10 +22,10 @@ bash tools/tpu_gate.sh
 timeout 7200 $GLOW \
     --beta 150 --ntrain 8192 --kle 512 --imsize 64 --lr 0.001 \
     --enc-blocks 3,3,3,3 --flow-blocks 4,4,4,4 --epochs 200 \
-    --ntest 512 --data-init --no-plot \
-    > logs/cglow_kle512_im64_canonical_200ep_datainit.log 2>&1
+    --ntest 512 --no-plot \
+    > logs/cglow_kle512_im64_canonical_200ep.log 2>&1
 
-CANON=$(ls -d "experiments/cglow/reverse_kld/kle512_ntrain8192_ENC_blocks[3, 3, 3, 3]"*epochs200*data_init 2>/dev/null | head -1)
+CANON=$(ls -d "experiments/cglow/reverse_kld/kle512_ntrain8192_ENC_blocks[3, 3, 3, 3]"*epochs200_im64 2>/dev/null | head -1)
 if [ -n "$CANON" ]; then
     guard
     bash tools/tpu_gate.sh
