@@ -85,19 +85,27 @@ class ActNorm(nn.Module):
         return y, logdet
 
 
-def actnorm_stats_to_params(stats_tree, params_tree):
-    """Update every ActNorm (weight, bias) from recorded batch inputs.
+def actnorm_stats_to_params(stats_tree, params_tree, only=None):
+    """Update ActNorm (weight, bias) from recorded batch inputs.
 
     Mirrors models/glow_msc.py:71-78: per-channel mean/std over (B, H, W);
     weight = 1/std, bias = -mean/std.
+
+    ``only``: a tuple of tree keys naming ONE ActNorm module — update just
+    that one (the sequential data-init needs per-layer updates; see
+    glow_trainer.data_init_actnorm).  ``None`` updates every recorded
+    ActNorm at once (the round-4 behavior — divergent for deep stacks,
+    kept for the unit tests of the conversion itself).
     """
     import flax
 
     params = flax.core.unfreeze(params_tree)
 
-    def visit(stats_node, params_node):
+    def visit(stats_node, params_node, path):
         for key, val in stats_node.items():
             if key == "input" and isinstance(val, (tuple, list, jnp.ndarray)):
+                if only is not None and tuple(path) != tuple(only):
+                    continue
                 x = val[0] if isinstance(val, (tuple, list)) else val
                 mean = x.mean(axis=tuple(range(x.ndim - 1)))
                 # ddof=1: torch .std() is Bessel-corrected
@@ -106,11 +114,38 @@ def actnorm_stats_to_params(stats_tree, params_tree):
                 params_node["weight"] = 1.0 / std
                 params_node["bias"] = -(mean / std)
             elif isinstance(val, dict):
-                visit(val, params_node[key])
+                visit(val, params_node[key], path + [key])
 
-    visit(flax.core.unfreeze(stats_tree), params)
+    visit(flax.core.unfreeze(stats_tree), params, [])
     return flax.core.freeze(params) if isinstance(
         params_tree, flax.core.FrozenDict) else params
+
+
+def actnorm_module_paths(stats_tree):
+    """Execution-ordered ActNorm module paths from a recorded stats tree.
+
+    The density pass applies revblock1's layers first, then revblock2's,
+    ... each block's revlayers in ascending order — exactly the numeric
+    sort of the (block, layer, ...) indices embedded in the tree keys.
+    """
+    import re
+
+    paths = []
+
+    def walk(node, path):
+        for key, val in node.items():
+            if key == "input":
+                paths.append(tuple(path))
+            elif isinstance(val, dict):
+                walk(val, path + [key])
+
+    walk(stats_tree, [])
+
+    def order(path):
+        return tuple(int(m) for key in path
+                     for m in re.findall(r"(\d+)", key))
+
+    return sorted(paths, key=order)
 
 
 class InvConv1x1(nn.Module):

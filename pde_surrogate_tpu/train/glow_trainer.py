@@ -278,24 +278,35 @@ def make_glow_eval_epoch_fn(eval_core, sharding=None):
     return run_eval
 
 
-def data_init_actnorm(model, state: GlowState, y, x,
-                      passes: int = 4) -> GlowState:
+def data_init_actnorm(model, state: GlowState, y, x) -> GlowState:
     """One-batch ActNorm data initialization (reference --data-init,
     train_cglow_reverse_kl.py:239-248): run the density path y -> z
-    recording every ActNorm input, then set weight=1/std, bias=-mean/std.
+    recording ActNorm inputs, then set weight=1/std, bias=-mean/std.
 
-    The reference initializes ActNorms lazily *during* one forward, so each
-    layer's statistics see the already-initialized earlier layers.  Here the
-    record -> update pass is repeated ``passes`` times: pass k leaves layers
-    1..k-1 at their fixpoint and normalizes layer k's true input, converging
-    to (and beyond) the sequential semantics.
+    The reference initializes ActNorms lazily *during* one forward, so
+    each layer's statistics see the already-initialized earlier layers —
+    Gauss-Seidel semantics.  The round-4 implementation instead repeated
+    a record-ALL/update-ALL sweep (Jacobi), which DIVERGES oscillating on
+    deep stacks (measured at the 64^2 canonical config: the deepest
+    actnorm's |weight| swung 9 -> 0.02 -> 3e4 -> 2e-4 over four sweeps,
+    and training NaN'd from epoch 1 — logs/cglow_kle512_im64_canonical_
+    200ep_datainit_nan.log).  This version reproduces the reference's
+    sequential semantics exactly: one forward per layer, updating only
+    the next layer in density-execution order, so every layer normalizes
+    its TRUE input under the already-initialized prefix.
     """
-    for _ in range(passes):
+    from ..models.flow import actnorm_module_paths
+
+    _, mutated = model.apply(
+        _variables(state), y, x, train=False,
+        mutable=["actnorm_stats", "batch_stats"])
+    order = actnorm_module_paths(dict(mutated["actnorm_stats"]))
+    for path in order:
         _, mutated = model.apply(
             _variables(state), y, x, train=False,
             mutable=["actnorm_stats", "batch_stats"])
         params = actnorm_stats_to_params(mutated["actnorm_stats"],
-                                         state.params)
+                                         state.params, only=path)
         state = state._replace(params=params)
     return state
 
