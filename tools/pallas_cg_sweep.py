@@ -62,15 +62,21 @@ for N in (64, 128):
         ref, dt_x = timed("xla tol1e-8 (production alt)",
                           lambda k: solve_darcy_batch(k)[:, 0], K)
         rows = {}
-        for fpp in {auto, max(auto // 2, 1), min(auto * 2, 32)}:
-            # skip fpp that measurably blows the VMEM budget (16@128 did)
-            if 17 * fpp * N * N * 4 > 15 * 2 ** 20:
-                print(f"  fpp={fpp}: skipped (VMEM estimate over budget)",
+        # only blockings at or below the auto size: the r5 run measured
+        # real scoped-VMEM usage at ~2x the 17-buffer estimate (fpp=32
+        # at 64^2 hit 17.28 M > 16 M and the remote compile error killed
+        # the process, logs/pallas_cg_sweep_r5.log) — auto is the
+        # hardware-validated ceiling
+        for fpp in sorted({auto, max(auto // 2, 1), max(auto // 4, 1)},
+                          reverse=True):
+            try:
+                out, dt = timed(f"pallas fpp={fpp}",
+                                lambda k, f=fpp: solve_darcy_pallas(
+                                    k, n_iter=NI, fields_per_program=f), K)
+            except Exception as e:  # noqa: BLE001 — keep sweeping
+                print(f"  fpp={fpp}: failed ({type(e).__name__}: {e})",
                       flush=True)
                 continue
-            out, dt = timed(f"pallas fpp={fpp}",
-                            lambda k, f=fpp: solve_darcy_pallas(
-                                k, n_iter=NI, fields_per_program=f), K)
             rows[fpp] = dt
             print(f"    rel err vs xla: {rel(out, ref, B):.2e}", flush=True)
         best = min(rows.items(), key=lambda kv: kv[1])
